@@ -1,0 +1,117 @@
+"""Portable deterministic hashing expressions.
+
+Everything here is built from ``md5`` + hex→int conversion because md5
+is the one hash with IDENTICAL semantics in Spark
+(`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+(`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`) — which is what lets the
+driver's DuckDB oracle value-check MinHash/SimHash/fingerprint
+operators instead of settling for rows-only checks. 15 hex digits =
+60 bits, always positive, no BIGINT overflow in either engine.
+
+All functions are pure `pyspark.sql.functions` compositions
+(higher-order array functions) — JVM-side, codegen'd, zero Python per
+row. At 100 TB the md5-per-shingle cost is the floor for any
+content-defined scheme; these expressions pipeline inside the scan
+stage with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+HASH_HEX_DIGITS = 15  # 60 bits
+
+
+def portable_hash(col: Column, seed: int | Column = 0) -> Column:
+    """60-bit deterministic hash, identical in Spark and DuckDB."""
+    seeded = F.concat(F.lit(str(seed) + ":") if isinstance(seed, int)
+                      else seed.cast("string"), col)
+    return F.conv(F.substring(F.md5(seeded), 1, HASH_HEX_DIGITS), 16, 10) \
+        .cast("long")
+
+
+def duckdb_portable_hash(expr: str, seed: int = 0) -> str:
+    """The DuckDB rendering of :func:`portable_hash` for oracle SQL."""
+    return (f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), 1, "
+            f"{HASH_HEX_DIGITS})) AS BIGINT)")
+
+
+# ------------------------------------------------------------- shingles
+
+def token_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct space-joined k-token shingles of a space-tokenized
+    text; texts shorter than k tokens yield the whole text."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    return F.when(n < k, F.array(text)).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ))
+    )
+
+
+def char_shingles(s: Column, k: int = 3) -> Column:
+    """Distinct character k-grams; short strings yield themselves."""
+    n = F.length(s)
+    return F.when(n < k, F.array(s)).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: s.substr(i, F.lit(k)),
+        ))
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """Array of ``n_hashes`` min-hash values over a shingle array —
+    one `array_min(transform(...))` per permutation, all codegen'd."""
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s, i=i: portable_hash(s, i)))
+        for i in range(n_hashes)
+    ])
+
+
+def minhash_bands(shingles: Column, n_hashes: int = 16,
+                  band_size: int = 4) -> Column:
+    """LSH band digests: md5 over each ``band_size`` slice of the
+    signature. Join key = (band index, digest)."""
+    sig = minhash_signature(shingles, n_hashes)
+    n_bands = n_hashes // band_size
+    return F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.element_at(sig, b * band_size + r + 1).cast("string")
+            for r in range(band_size)
+        ]))
+        for b in range(n_bands)
+    ])
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash(shingles: Column, bits: int = 32) -> Column:
+    """SimHash: per-bit majority vote over shingle hashes, folded into
+    a LONG. Pure expressions: for each bit, count shingles whose hash
+    has that bit set; bit set in output iff count*2 >= n."""
+    n = F.size(shingles)
+    hashes = F.transform(shingles, lambda s: portable_hash(s, 0))
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.size(F.filter(
+            hashes, lambda h, b=b: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        acc = acc + F.when(ones * 2 >= n, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two LONG hashes via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

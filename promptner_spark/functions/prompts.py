@@ -1,0 +1,88 @@
+"""Prompt-construction operators C1-C3, C7, C8 (SURVEY.md §2.3).
+
+The reference assembles prompts by string concatenation on a mutable
+``Algorithm`` object (`algorithms.py:186-219,453-541`). Spark-first,
+the prompt template is resolved ONCE at the driver into an immutable
+:class:`PromptSpec` whose constant parts become `F.lit` prefixes —
+Catalyst constant-folds them, and the per-row work is a single
+`concat` inside whole-stage codegen. No Python runs per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, functions as F
+
+# Template fragments mirroring the reference's Config strings
+# (`algorithms.py:426-552`): a task definition, a format instruction,
+# and few-shot exemplars already rendered in the numbered
+# ``entity | True/False | explanation (type)`` answer format.
+DEFAULT_DEFN = (
+    "An entity is a data-processing system, operator, structure, actor or "
+    "source named in the paragraph."
+)
+DEFAULT_FORMAT_TASK = (
+    "Q: Given the paragraph below, identify a list of possible entities "
+    "and for each entry explain why it either is or is not an entity. "
+    "Answer in the format: number. entity | True/False | explanation (type)"
+)
+TYPE_Q = (
+    "Q: Given the paragraph below and the entity phrase, identify what "
+    "type of entity it is."
+)
+DISPUTE_Q = (
+    "Q: Given the paragraph below, the entity phrase and two proposed "
+    "entity types, choose the more accurate type."
+)
+
+
+@dataclass(frozen=True)
+class PromptSpec:
+    """The frozen outcome of the reference's ``Config.set_config``
+    4-bool matrix (`algorithms.py:453-541`): definition on/off,
+    exemplars on/off, CoT on/off, true/false-format on/off — resolved
+    into plain strings at the driver and broadcast as literals."""
+
+    defn: str = DEFAULT_DEFN
+    format_task: str = DEFAULT_FORMAT_TASK
+    exemplars: tuple[str, ...] = field(default_factory=tuple)
+    use_defn: bool = True
+    use_exemplars: bool = True
+
+    def prefix(self) -> str:
+        """Everything before the paragraph (`algorithms.py:186-194`)."""
+        parts: list[str] = []
+        if self.use_defn:
+            parts.append(self.defn)
+        parts.append(self.format_task)
+        if self.use_exemplars and self.exemplars:
+            parts.extend(self.exemplars)
+        return "\n".join(parts) + "\nParagraph: "
+
+    SUFFIX = " \nAnswer:"
+
+
+def completion_prompt(spec: PromptSpec, text: Column) -> Column:
+    """C2: ``prefix + paragraph + " \\nAnswer:"`` as one codegen'd
+    concat (`algorithms.py:192-194`)."""
+    return F.concat(F.lit(spec.prefix()), text, F.lit(PromptSpec.SUFFIX))
+
+
+def type_verify_prompt(text: Column, surface: Column) -> Column:
+    """C7: second-pass type-verification prompt over the mention table
+    (`algorithms.py:371-379,458-466`)."""
+    return F.concat(
+        F.lit(TYPE_Q + "\nParagraph: "), text,
+        F.lit(" \nEntity Phrase: "), surface, F.lit(" \nAnswer:"),
+    )
+
+
+def dispute_prompt(text: Column, surface: Column, o1: Column, o2: Column) -> Column:
+    """C8: dispute-resolution prompt when two type opinions differ
+    (`algorithms.py:387-395,468-476`)."""
+    return F.concat(
+        F.lit(DISPUTE_Q + "\nParagraph: "), text,
+        F.lit(" \nEntity Phrase: "), surface,
+        F.lit(", Options: ("), o1, F.lit("), ("), o2, F.lit(") \nAnswer:"),
+    )

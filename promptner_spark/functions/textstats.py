@@ -1,0 +1,95 @@
+"""Text-analysis expressions for the documents corpus (training-data
+pipeline operators: language-ID, quality scoring, token counting,
+fingerprinting). Pure `pyspark.sql.functions` — codegen'd, no Python.
+
+Each has an exact DuckDB-SQL mirror used by the driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from .hashing import portable_hash
+from ..oracle.stopwords import ENGLISH_STOPWORDS
+
+# a compact, fixed stopword subset for ratio features (full NLTK list
+# lives in oracle/stopwords.py for P1 parity; the ratio feature only
+# needs a stable subset)
+STOP_SUBSET = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the reference's tokenization convention,
+    `data.py:55-58`)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximate token count: word-chunks + digits + punctuation
+    as separate tokens (regexp-based; deterministic)."""
+    return F.size(F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+def avg_token_len(text: Column) -> Column:
+    n = token_count(text)
+    total = F.aggregate(tokens(text), F.lit(0),
+                        lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(n, F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    stops = F.array(*[F.lit(s) for s in STOP_SUBSET])
+    n_stop = F.size(F.filter(tokens(text),
+                             lambda t: F.array_contains(stops, F.lower(t))))
+    return n_stop.cast("double") / F.greatest(token_count(text), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")
+    return F.length(stripped).cast("double") / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards mid-length docs,
+    low punctuation, presence of stopwords, sane word lengths —
+    the classic C4/Gopher-style rule family reduced to arithmetic."""
+    n = token_count(text)
+    len_ok = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+    wl = avg_token_len(text)
+    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    p_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    s = stopword_ratio(text)
+    s_ok = F.least(s * 4, F.lit(1.0))
+    return (len_ok + wl_ok + p_ok + s_ok) / 4
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram-free heuristic language ID: English stopword hit-rate.
+    (The synthetic corpus is English word-salad under non-en labels —
+    the operator demonstrates the plumbing + the confusion-matrix
+    evaluation path, not SOTA langid.)"""
+    return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """64-char-window rolling fingerprint: min portable-hash over
+    character 8-grams of the normalized text (winnowing-style k-min
+    sketch with k=1) — content-defined, shift-tolerant."""
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    n = F.length(norm)
+    grams = F.when(n < 8, F.array(norm)).otherwise(
+        F.transform(F.sequence(F.lit(1), n - 7),
+                    lambda i: norm.substr(i, F.lit(8))))
+    return F.array_min(F.transform(grams, lambda g: portable_hash(g, 7)))
+
+
+__all__ = [
+    "token_count", "bpe_ish_token_count", "avg_token_len",
+    "stopword_ratio", "punct_ratio", "quality_score", "lang_id",
+    "fingerprint", "STOP_SUBSET", "ENGLISH_STOPWORDS",
+]

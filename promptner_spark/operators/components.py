@@ -1,0 +1,61 @@
+"""Connected components over DataFrames (operator G2) **[NORTH]**.
+
+Canonicalization of the mention co-reference graph: alternating
+large-star / small-star label propagation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC'14) expressed purely as
+DataFrame joins + groupBy — no GraphFrames dependency, no RDDs.
+
+Scale properties:
+- converges in O(log n) rounds on web-scale graphs;
+- every round is one shuffle on ``node`` (min-aggregation) + one
+  equi-join — both AQE-managed;
+- ``localCheckpoint`` each round truncates the lineage so the plan
+  does not grow exponentially (SURVEY.md §4.3);
+- hub nodes (hub entities per north_rule) are exactly what large-star
+  handles: high-degree nodes immediately adopt the component minimum,
+  so skew shrinks each round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """edges(src, dst) → (node, component) with component = min node id
+    reachable. Node ids must be orderable (LONG or STRING)."""
+    # symmetrize + self-loops: every node maps to itself initially
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp"))
+
+    for _ in range(max_iter):
+        # propagate: each node adopts min(comp) over itself + neighbors
+        neighbor_lbl = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_lbl)
+            .groupBy("node").agg(F.min("comp").alias("comp"))
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        # fixpoint test: any node whose label changed this round?
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component"))

@@ -1,0 +1,155 @@
+"""Deduplication suite over the documents corpus — first-class
+training-data-pipeline operators (task brief) built on
+functions/hashing.py portable primitives.
+
+Five strategies, all shuffle-disciplined:
+
+- exact: one groupBy on md5(text) — map-side partial agg, minimal.
+- minhash-LSH: shingle → signature → band buckets → bucket self-join →
+  Jaccard verify. The self-join is on (band_id, digest) so fanout is
+  bucket-bounded; no O(n²) pair space materialized.
+- simhash: 32-bit per-bit-majority digest; near-dup = small Hamming
+  distance within simhash buckets.
+- n-gram Jaccard: exact verify step / small-scope pairing.
+- embedding cosine: see operators/similarity.py.
+
+Winner selection is deterministic: min(doc_id) survives (stable across
+cluster sizes — north_rule determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import (
+    hamming64, jaccard, minhash_bands, simhash, token_shingles,
+)
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep min(id) per content digest. Returns the
+    surviving rows; one shuffle on the digest."""
+    w = Window.partitionBy("content_md5").orderBy(F.asc(id_col))
+    return (
+        docs.withColumn("content_md5", F.md5(F.col(text_col)))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group summary (digest, n, keeper)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) sharing ≥1 band bucket."""
+    with_bands = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.posexplode(
+            minhash_bands(token_shingles(F.col(text_col), shingle_k),
+                          n_hashes, band_size)
+        ).alias("band_id", "digest"),
+    )
+    a, b = with_bands.alias("a"), with_bands.alias("b")
+    return (
+        a.join(b, ["band_id", "digest"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.t").alias("text_a"), F.col("b.t").alias("text_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidates verified by exact shingle Jaccard ≥ threshold."""
+    cand = minhash_candidate_pairs(docs, text_col, id_col,
+                                   n_hashes, band_size, shingle_k)
+    j = jaccard(token_shingles(F.col("text_a"), shingle_k),
+                token_shingles(F.col("text_b"), shingle_k))
+    return (
+        cand.withColumn("jaccard", j)
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 32,
+                  shingle_k: int = 2) -> DataFrame:
+    """Per-doc simhash digest (portable; DuckDB-checkable)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(token_shingles(F.col(text_col), shingle_k), bits).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       bits: int = 32, shingle_k: int = 2,
+                       block_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by simhash: block on the high ``block_bits`` of
+    the digest (a near-pair at distance ≤ k collides in ≥1 of the
+    high/low halves — here we block on both halves), verify Hamming.
+    """
+    t = simhash_table(docs, bits=bits, shingle_k=shingle_k)
+    hi = F.shiftright(F.col("simhash"), bits - block_bits)
+    lo = F.col("simhash").bitwiseAND(F.lit((1 << block_bits) - 1))
+    blocked = t.select(
+        "doc_id", "simhash",
+        F.explode(F.array(
+            F.concat(F.lit("h"), hi.cast("string")),
+            F.concat(F.lit("l"), lo.cast("string")),
+        )).alias("block"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, "block")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
+                        shingle_k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit candidate pair table
+    (id_a, id_b) — the verify primitive, reusable by any blocker."""
+    d = docs.select(F.col("doc_id"), F.col("text"))
+    return (
+        pairs
+        .join(d.withColumnRenamed("doc_id", "id_a")
+               .withColumnRenamed("text", "text_a"), "id_a")
+        .join(d.withColumnRenamed("doc_id", "id_b")
+               .withColumnRenamed("text", "text_b"), "id_b")
+        .select("id_a", "id_b",
+                jaccard(token_shingles(F.col("text_a"), shingle_k),
+                        token_shingles(F.col("text_b"), shingle_k))
+                .alias("jaccard"))
+    )

@@ -1,0 +1,129 @@
+"""Entity linking (joins J1-J3, SURVEY.md §2.8) **[NORTH]**.
+
+mention surface → canonical entity, three strategies composed:
+
+1. **Broadcast alias join (J1)** — the alias dictionary is small
+   relative to the corpus (millions of rows vs trillions of mentions);
+   `F.broadcast` pins a broadcast-hash join so the trillion-row side
+   never shuffles.
+2. **Salted join (J3)** — hub surfaces ("spark", "united states")
+   concentrate in a few keys. For the non-broadcastable fallback path
+   the big side gets a `pmod(xxhash64(url), K)` salt and the dictionary
+   is exploded ×K, flattening the key histogram. AQE skew-join
+   (enabled in session.py) covers the sort-merge case at runtime.
+3. **MinHash-LSH candidates (J2)** — surfaces missed by the exact
+   alias key are blocked by character-shingle MinHash bands
+   (functions/hashing.py) and joined on band buckets, then verified by
+   Jaccard; this is a bounded-fanout equi-join, never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import schema
+from ..functions.hashing import char_shingles, jaccard, minhash_bands
+from .gazetteer import ALIAS_ROWS
+
+_PUNCT_CLASS = r"^[!-/:-@\[-`{-~\s]+|[!-/:-@\[-`{-~\s]+$"
+
+
+def norm_surface(col: F.Column) -> F.Column:
+    """The linking key: lowercase + strip surrounding punctuation
+    (reference normalization `eval.py:20-21`, oracle/clean.py)."""
+    return F.regexp_replace(F.lower(F.trim(col)), _PUNCT_CLASS, "")
+
+
+def alias_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ALIAS_ROWS, schema=schema.ALIASES)
+
+
+def link_exact(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """J1: broadcast-hash left join on the normalized surface."""
+    return mentions.withColumn("alias_norm_key", norm_surface(F.col("surface"))).join(
+        F.broadcast(aliases),
+        F.col("alias_norm_key") == aliases["alias_norm"],
+        "left",
+    ).drop("alias_norm_key")
+
+
+def link_exact_salted(mentions: DataFrame, aliases: DataFrame, salt: int = 16) -> DataFrame:
+    """J3: the same join without broadcast, skew-proofed by salting —
+    the strategy used when the dictionary exceeds broadcast memory.
+    Big side: salt = pmod(xxhash64(url, sent_id, begin), K); small
+    side exploded ×K so every (key, salt) bucket exists."""
+    salted_m = mentions.withColumn(
+        "alias_norm_key", norm_surface(F.col("surface"))
+    ).withColumn(
+        "salt",
+        F.pmod(F.xxhash64("url", "sent_id", "begin"), F.lit(salt)).cast("int"),
+    )
+    salted_a = aliases.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted_m.join(
+        salted_a,
+        (F.col("alias_norm_key") == salted_a["alias_norm"])
+        & (salted_m["salt"] == salted_a["salt"]),
+        "left",
+    ).drop("alias_norm_key", "salt")
+
+
+def link_fuzzy_candidates(
+    unlinked: DataFrame,
+    aliases: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """J2: MinHash-LSH candidate generation for surfaces with no exact
+    alias hit, verified by true Jaccard. Join key is (band_id,
+    band_hash) — bounded fanout, shuffle only on bucket keys."""
+    def with_bands(df: DataFrame, col: str, out: str) -> DataFrame:
+        sh = char_shingles(F.col(col), shingle_k)
+        return df.withColumn(out, minhash_bands(sh, n_hashes, band_size))
+
+    m = with_bands(
+        unlinked.select("url", "sent_id", "mention_id",
+                        norm_surface(F.col("surface")).alias("m_norm")),
+        "m_norm", "m_bands",
+    ).select("url", "sent_id", "mention_id", "m_norm",
+             F.posexplode("m_bands").alias("band_id", "band_hash"))
+
+    a = with_bands(aliases, "alias_norm", "a_bands").select(
+        "alias_norm", "entity_id", "canonical_name",
+        F.posexplode("a_bands").alias("band_id", "band_hash"))
+
+    cand = m.join(a, ["band_id", "band_hash"]).dropDuplicates(
+        ["url", "sent_id", "mention_id", "entity_id"])
+    sim = jaccard(char_shingles(F.col("m_norm"), shingle_k),
+                  char_shingles(F.col("alias_norm"), shingle_k))
+    return (
+        cand.withColumn("jaccard", sim)
+        .where(F.col("jaccard") >= min_jaccard)
+        # best candidate per mention: highest jaccard, entity_id tiebreak
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("url", "sent_id", "mention_id")
+            .orderBy(F.desc("jaccard"), F.asc("entity_id"))))
+        .where(F.col("rk") == 1).drop("rk")
+    )
+
+
+def link_mentions(mentions: DataFrame, aliases: DataFrame,
+                  fuzzy: bool = True) -> DataFrame:
+    """Full linking: exact broadcast join, then LSH fuzzy pass over the
+    misses, unioned. Output adds entity_id / canonical_name (nullable —
+    NIL mentions stay unlinked for canonicalization by co-reference)."""
+    exact = link_exact(mentions, aliases)
+    hit = exact.where(F.col("entity_id").isNotNull())
+    if not fuzzy:
+        return exact
+    miss = exact.where(F.col("entity_id").isNull()).drop(
+        "alias_norm", "entity_id", "canonical_name", "prior")
+    fz = link_fuzzy_candidates(miss, aliases).select(
+        "url", "sent_id", "mention_id", "entity_id",
+        "canonical_name", "alias_norm")
+    relinked = miss.join(fz, ["url", "sent_id", "mention_id"], "left") \
+        .withColumn("prior", F.lit(None).cast("double"))
+    return hit.unionByName(relinked, allowMissingColumns=True)

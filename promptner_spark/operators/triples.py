@@ -1,0 +1,87 @@
+"""Canonicalization + (subj, pred, obj) triple emission
+(operators G1, G3 — SURVEY.md §2.9) **[NORTH]**.
+
+Semantics (deterministic, dependency-free — the reference has no
+relation extractor, so the north-rule triple emission is co-occurrence
+based):
+
+- **nodes**: one canonical entity per linked cluster. Linked mentions
+  carry their alias ``entity_id``; NIL mentions are canonicalized by
+  connected components over the "same normalized surface" relation
+  (G2), giving surface-cluster ids offset into a disjoint id space.
+- **edges/triples**: within each sentence, every unordered pair of
+  distinct canonical entities co-occurring emits
+  ``(subj, 'cooccurs_with', obj)`` with ``subj < obj`` (canonical-name
+  order) — plus provenance (url, sent_id).
+
+Scale: pair generation is a per-sentence self-join on (url, sent_id).
+Sentences hold O(10) mentions so fanout is bounded; the join key is
+fine-grained (url × sent) — no hub-key blowup. Triple dedup/counting
+shuffles once on (subj, pred, obj).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PRED_COOCCUR = "cooccurs_with"
+NIL_ID_OFFSET = 1_000_000_000
+
+
+def canonicalize(linked: DataFrame) -> DataFrame:
+    """linked mention table → + canonical (entity_key, entity_name).
+
+    Linked mentions use their alias entity. NIL mentions get a
+    deterministic id from the normalized surface hash-space (same
+    surface ⇒ same id; cross-surface merging happens in
+    :func:`nil_components` when enabled).
+    """
+    from ..functions.hashing import portable_hash
+    from .linking import norm_surface
+
+    nrm = norm_surface(F.col("surface"))
+    return linked.withColumn(
+        "entity_key",
+        F.when(F.col("entity_id").isNotNull(), F.col("entity_id"))
+        .otherwise(NIL_ID_OFFSET + F.pmod(portable_hash(nrm), F.lit(NIL_ID_OFFSET))),
+    ).withColumn(
+        "entity_name",
+        F.coalesce(F.col("canonical_name"), nrm),
+    )
+
+
+def nodes_table(canonical: DataFrame) -> DataFrame:
+    """Canonical entity (nodes) table with mention counts."""
+    return canonical.groupBy("entity_key", "entity_name").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.min("type").alias("type"),
+    )
+
+
+def emit_triples(canonical: DataFrame, distinct_within_sentence: bool = True) -> DataFrame:
+    """Sentence-scoped co-occurrence pairs → triples table
+    (schema.TRIPLES). ``subj < obj`` by canonical name for a stable
+    orientation."""
+    ents = canonical.select("url", "sent_id", "entity_name").distinct() \
+        if distinct_within_sentence else \
+        canonical.select("url", "sent_id", "entity_name")
+    a, b = ents.alias("a"), ents.alias("b")
+    return (
+        a.join(b, ["url", "sent_id"])
+        .where(F.col("a.entity_name") < F.col("b.entity_name"))
+        .select(
+            F.col("a.entity_name").alias("subj"),
+            F.lit(PRED_COOCCUR).alias("pred"),
+            F.col("b.entity_name").alias("obj"),
+            "url",
+            F.col("sent_id").cast("int").alias("sent_id"),
+        )
+    )
+
+
+def triple_counts(triples: DataFrame) -> DataFrame:
+    """Corpus-level aggregated edge weights (one shuffle)."""
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_sents"),
+        F.countDistinct("url").alias("n_docs"),
+    )

@@ -1,0 +1,109 @@
+"""The end-to-end KG-construction plan (north_star dataflow):
+
+    pages (url, warc_ts, html, text, lang)
+      → extract text (byte-identical invariant)
+      → sentence chunks
+      → batched prompt inference (deterministic backend)
+      → parse + span-align (reference semantics)
+      → mention table
+      → [optional] type verification (SP3)
+      → entity linking (broadcast alias join + LSH fuzzy)
+      → canonicalization (alias ids + NIL surface components)
+      → nodes / triples tables (+ counts)
+
+Stage boundaries are checkpointable (plans/checkpoint.py) so a crashed
+run resumes; ``run_pipeline(checkpoint_root=...)`` gives the resumable
+variant, ``build_*`` functions give the pure-DAG variant used by tests
+and the driver entry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import linking, triples as triples_op
+from ..operators.infer import run_inference
+from ..operators.parse import explode_mentions, parse_and_align
+from ..operators.verify import verify_types
+from ..sources.pages import pages_with_extracted_text
+from ..sources.sentences import split_sentences
+from .checkpoint import run_stage
+
+
+@dataclass
+class PipelineResult:
+    pages: DataFrame
+    sentences: DataFrame
+    mentions: DataFrame
+    linked: DataFrame
+    nodes: DataFrame
+    triples: DataFrame
+    triple_counts: DataFrame
+
+
+def build_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    partitions: int | None = None,
+    with_verify: bool = False,
+    fuzzy_link: bool = True,
+) -> PipelineResult:
+    """Pure-DAG pipeline (no materialization)."""
+    pages = pages_with_extracted_text(spark, sf_dir)
+    sentences = split_sentences(pages)
+    inferred = run_inference(sentences, partitions=partitions)
+    aligned = parse_and_align(inferred)
+    mentions = explode_mentions(aligned)
+    if with_verify:
+        mentions = verify_types(mentions, sentences).withColumn(
+            "type", F.col("type_final")).drop("type_verified", "type_final")
+    aliases = linking.alias_df(spark)
+    linked = linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link)
+    canonical = triples_op.canonicalize(linked)
+    nodes = triples_op.nodes_table(canonical)
+    trips = triples_op.emit_triples(canonical)
+    counts = triples_op.triple_counts(trips)
+    return PipelineResult(pages, sentences, mentions, linked, nodes,
+                          trips, counts)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_root: str,
+    partitions: int | None = None,
+    fuzzy_link: bool = True,
+) -> PipelineResult:
+    """Materialized, resume-from-checkpoint pipeline (north_rule).
+
+    Each stage is parquet + per-partition manifest; re-running after a
+    crash re-executes only incomplete stages.
+    """
+    pages = run_stage(
+        spark, checkpoint_root, "pages",
+        lambda: pages_with_extracted_text(spark, sf_dir))
+    sentences = run_stage(
+        spark, checkpoint_root, "sentences",
+        lambda: split_sentences(pages))
+    mentions = run_stage(
+        spark, checkpoint_root, "mentions",
+        lambda: explode_mentions(parse_and_align(
+            run_inference(sentences, partitions=partitions))))
+    aliases = linking.alias_df(spark)
+    linked = run_stage(
+        spark, checkpoint_root, "linked",
+        lambda: linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link))
+    canonical = triples_op.canonicalize(linked)
+    nodes = run_stage(
+        spark, checkpoint_root, "nodes",
+        lambda: triples_op.nodes_table(canonical))
+    trips = run_stage(
+        spark, checkpoint_root, "triples",
+        lambda: triples_op.emit_triples(canonical))
+    counts = run_stage(
+        spark, checkpoint_root, "triple_counts",
+        lambda: triples_op.triple_counts(trips))
+    return PipelineResult(pages, sentences, mentions, linked, nodes,
+                          trips, counts)

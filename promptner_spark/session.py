@@ -1,0 +1,62 @@
+"""SparkSession construction tuned for the KG-construction pipeline.
+
+Centralizes the settings that matter at 100 TB scale and maps them onto
+the local[N] sandbox (SURVEY.md §4.2-4.3):
+
+- AQE on (runtime coalescing + skew-join splitting) — the hub-entity
+  skew handling mandated by BASELINE.json:north_rule.
+- Arrow on, with a bounded records-per-batch so the inference pandas
+  UDF sees model-sized batches (SURVEY.md §4.2 "deterministic
+  batching").
+- shuffle.partitions sized to cores locally; on a real cluster this is
+  AQE-coalesced from a high initial value instead.
+- UTC session timezone so parquet timestamps compare bit-stably against
+  the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One Arrow batch == one model micro-batch in the inference UDF; keeping
+# them equal means no re-batching python-side (SURVEY.md §4.2).
+ARROW_BATCH_ROWS = 512
+
+
+def build_session(
+    cores: int | None = None,
+    app_name: str = "promptner_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``cores=None`` respects an existing session / the driver's master;
+    an explicit ``cores`` forces ``local[cores]`` (bench harness uses
+    this to evidence N→4N scaling per BASELINE.json:north_rule).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if cores is not None:
+        builder = builder.master(f"local[{cores}]")
+    n_shuffle = shuffle_partitions or (cores * 2 if cores else 32)
+    conf = {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

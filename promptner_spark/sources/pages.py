@@ -1,0 +1,95 @@
+"""The web-page corpus source (operators S9 + the html→text extractor).
+
+``BASELINE.json:input_hint`` fixes the input as an Iceberg table
+``(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING,
+lang STRING)``. This sandbox has no Iceberg catalog jars, so the same
+table is synthesized *deterministically* from the driver-provided
+``documents.parquet`` (TESTDATA.md) with pure Spark SQL expressions —
+no RNG, no Python — so the DuckDB oracle can rebuild it bit-identically
+from the same parquet.
+
+The html→text extractor is the north_rule's byte-identical invariant
+("byte-identical extracted text per url"): html is the canonical
+wrapping of ``text`` and extraction inverts it exactly; the pipeline
+asserts ``extract(html) == text`` per url (tests + the
+``q_extract_text`` oracle query).
+
+Scale note: both synthesis and extraction are single narrow
+projections — no shuffle, fully codegen'd, and column pruning means a
+run that only needs ``text`` never deserializes ``html``
+(SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# Canonical page template. Kept to one <p> element so the inverse is a
+# single anchored regexp in BOTH engines (Spark regexp_extract /
+# DuckDB regexp_extract).
+_PREFIX = "<html><head><title>doc "
+_MID = "</title></head><body><article><p>"
+_SUFFIX = "</p></article></body></html>"
+
+URL_PREFIX = "https://ex.com/"
+EXTRACT_PATTERN = "<p>(.*)</p>"
+
+
+def url_of(doc_id: Column) -> Column:
+    return F.concat(F.lit(URL_PREFIX), doc_id.cast("string"))
+
+
+def html_of(doc_id: Column, lang: Column, text: Column) -> Column:
+    """Deterministic html wrapping of ``text`` (BINARY, UTF-8)."""
+    page = F.concat(
+        F.lit(_PREFIX), doc_id.cast("string"), F.lit(" ["), lang, F.lit("]"),
+        F.lit(_MID), text, F.lit(_SUFFIX),
+    )
+    return F.encode(page, "UTF-8")
+
+
+def extract_text(html: Column) -> Column:
+    """Inverse of :func:`html_of` — the byte-identical extractor."""
+    return F.regexp_extract(F.decode(html, "UTF-8"), EXTRACT_PATTERN, 1)
+
+
+def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages table per input_hint.
+
+    ``warc_ts`` is a deterministic function of doc_id (one second per
+    doc from a fixed epoch). ``text`` is kept alongside ``html``; the
+    pipeline recomputes it from html and asserts equality.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        url_of(F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id")  # 2024-01-01T00:00:00Z
+        ).alias("warc_ts"),
+        html_of(F.col("doc_id"), F.col("lang"), F.col("text")).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def pages_with_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages + ``extracted`` column (coalesce(text, extract(html))) —
+    the first pipeline stage. ``extract_ok`` flags the byte-identity
+    invariant for the lineage manifest."""
+    pages = synthesize_pages(spark, sf_dir)
+    extracted = extract_text(F.col("html"))
+    return pages.select(
+        "url", "warc_ts", "lang",
+        F.coalesce(F.col("text"), extracted).alias("text"),
+        (extracted == F.col("text")).alias("extract_ok"),
+    )
+
+
+# DuckDB mirror of the synthesis, used by oracle_sql() so the oracle
+# rebuilds the identical pages table from documents.parquet.
+DUCKDB_PAGES_CTE = (
+    "pages AS (SELECT concat('https://ex.com/', CAST(doc_id AS VARCHAR)) AS url, "
+    "encode(concat('<html><head><title>doc ', CAST(doc_id AS VARCHAR), ' [', lang, "
+    "']</title></head><body><article><p>', text, '</p></article></body></html>')) AS html, "
+    "text, lang, doc_id FROM documents)"
+)
