@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship KG-construction pipeline (pages → text
+  extraction → batched CoT inference → parse/align → mentions →
+  linking → canonicalization → triples) at sf0.001, returning the
+  aggregated triple table.
+- ``queries()``: one entry per implemented operator family from
+  SURVEY.md §2 (see promptner_spark/plans/queries.py for the paired
+  DuckDB closed forms and the cross-engine determinism rules).
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query; keys absent
+  here (q_knn_lsh, q_pipeline_triples) are approximate / beyond SQL
+  closed form and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +18,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from promptner_spark.plans.queries import ORACLE_SQL, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from promptner_spark.plans.pipeline import build_pipeline
+    res = build_pipeline(spark, "/root/testdata/sf0.001")
+    return res.triple_counts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -64,13 +64,23 @@ def char_shingles(s: Column, k: int = 3) -> Column:
 
 # ------------------------------------------------------------- minhash
 
+def _seeded_min(shingles: Column, seed: int) -> Column:
+    # NB: the lambda must be unary — a second (defaulted) parameter
+    # makes PySpark pass the ELEMENT INDEX into it.
+    def body(s: Column) -> Column:
+        return portable_hash(s, seed)
+    return F.array_min(F.transform(shingles, body))
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
     """Array of ``n_hashes`` min-hash values over a shingle array —
-    one `array_min(transform(...))` per permutation, all codegen'd."""
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s, i=i: portable_hash(s, i)))
-        for i in range(n_hashes)
-    ])
+    one `array_min(transform(...))` per permutation, all codegen'd.
+
+    Expression form: fine for SHORT arrays (entity surfaces in fuzzy
+    linking). For document corpora use
+    operators/dedup.py::minhash_signatures — the explode/aggregate
+    formulation that evaluates each hash exactly once."""
+    return F.array(*[_seeded_min(shingles, i) for i in range(n_hashes)])
 
 
 def minhash_bands(shingles: Column, n_hashes: int = 16,
@@ -105,8 +115,9 @@ def simhash(shingles: Column, bits: int = 32) -> Column:
     hashes = F.transform(shingles, lambda s: portable_hash(s, 0))
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        ones = F.size(F.filter(
-            hashes, lambda h, b=b: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        def has_bit(h: Column, _b: int = 0) -> Column:
+            return F.shiftright(h, _b).bitwiseAND(F.lit(1)) == 1
+        ones = F.size(F.filter(hashes, (lambda bb: (lambda h: has_bit(h, bb)))(b)))
         acc = acc + F.when(ones * 2 >= n, F.lit(1 << b).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
     return acc

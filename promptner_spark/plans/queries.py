@@ -1,0 +1,747 @@
+"""Driver-contract query registry: every SURVEY.md §2 operator exposed
+as a (Spark callable, DuckDB oracle SQL) pair.
+
+Design rules that make value-hash parity achievable cross-engine:
+
+- integers everywhere the math is exact (counts, scaled ints via
+  per-row round()); NO cross-row float sums (partial-agg order would
+  change the last bits);
+- hashing via functions/hashing.py portable md5 primitives, mirrored
+  literally in the SQL;
+- DuckDB aggregate sums cast back to BIGINT (DuckDB widens to
+  HUGEINT);
+- every computed column aliased identically on both sides.
+
+The synthetic corpus has no natural near-duplicates (checked: consec
+3-gram jaccard ≈ 0), so dedup/CC queries deterministically AUGMENT the
+corpus with exact copies (doc_id%10==0 → +1M id) and 80%-prefix
+near-copies (doc_id%5==0 → +2M id) — identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import textstats as TS
+from ..functions.hashing import (
+    HASH_HEX_DIGITS, duckdb_portable_hash, portable_hash,
+)
+from ..operators import dedup, linking, similarity, triples as triples_op
+from ..operators.components import connected_components
+from ..operators.gazetteer import (
+    ALIAS_ROWS, DUCKDB_ALIASES_CTE, ORACLE_GAZETTEER, duckdb_gazetteer_cte,
+)
+from ..operators.infer import run_inference
+from ..operators.model import GazetteerBackend, RetryingBackend
+from ..operators.parse import explode_mentions, parse_and_align
+from ..operators.verify import verify_types
+from ..sources.pages import DUCKDB_PAGES_CTE, synthesize_pages
+from ..operators.evaluate import span_prf
+
+BIG_PRIME = 1_000_000_007
+
+# span-F1 perturbed predictor: two misses (FN) + one type flip (FP+FN)
+PRED_GAZ = {s: ("STRUCT" if s == "window" else t)
+            for s, t in ORACLE_GAZETTEER.items()
+            if s not in ("merge", "batch")}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ S9/S10
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical html→text extraction, summarized per lang."""
+    from ..sources.pages import extract_text
+    pages = synthesize_pages(spark, sf_dir)
+    ext = extract_text(F.col("html"))
+    return pages.select(
+        "lang", "text",
+        ext.alias("extracted"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("extracted") == F.col("text"), 1).otherwise(0))
+        .cast("long").alias("n_ok"),
+        F.sum(F.pmod(portable_hash(F.col("extracted")), F.lit(BIG_PRIME)))
+        .cast("long").alias("text_hash_sum"),
+    )
+
+
+def _sql_extract_text() -> str:
+    h = duckdb_portable_hash("regexp_extract(decode(html), '<p>(.*)</p>', 1)")
+    return f"""
+WITH {DUCKDB_PAGES_CTE}
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN regexp_extract(decode(html), '<p>(.*)</p>', 1) = text
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum({h} % {BIG_PRIME}) AS BIGINT) AS text_hash_sum
+FROM pages GROUP BY lang"""
+
+
+# ----------------------------------------------------- M4+A2+SP1 end-to-end
+def _oracle_mentions(spark: SparkSession, sf_dir: str,
+                     gaz: dict[str, str] | None = None) -> DataFrame:
+    """The full infer→parse→align→explode chain under the single-word
+    gazetteer — the config whose end-to-end semantics have a SQL
+    closed form (first occurrence of each present gazetteer word)."""
+    gaz = gaz if gaz is not None else ORACLE_GAZETTEER
+    pages = synthesize_pages(spark, sf_dir)
+    sents = pages.select("url", F.lit(0).cast("int").alias("sent_id"), "text")
+    inferred = run_inference(
+        sents,
+        backend_factory=lambda: RetryingBackend(GazetteerBackend(gaz)))
+    return explode_mentions(parse_and_align(inferred))
+
+
+def _sql_mentions_cte(gaz: dict[str, str] | None = None,
+                      gaz_name: str = "gaz") -> str:
+    """Closed form of the oracle-variant pipeline output."""
+    return f"""mentions AS (
+  SELECT p.url, g.surface,
+         CAST(list_position(string_split(p.text, ' '), g.surface) - 1 AS INTEGER)
+           AS begin_pos,
+         g.type
+  FROM pages p JOIN {gaz_name} g
+    ON list_contains(string_split(p.text, ' '), g.surface))"""
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _oracle_mentions(spark, sf_dir).select(
+        "url", "surface", F.col("begin").alias("begin_pos"), "type")
+
+
+def _sql_mentions() -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()}, {_sql_mentions_cte()}
+SELECT url, surface, begin_pos, type FROM mentions"""
+
+
+def q_mention_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _oracle_mentions(spark, sf_dir).groupBy("type").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("surface").alias("n_surfaces"),
+        F.countDistinct("url").alias("n_docs"),
+    )
+
+
+def _sql_mention_type_counts() -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()}, {_sql_mentions_cte()}
+SELECT type, count(*) AS n_mentions,
+       count(DISTINCT surface) AS n_surfaces,
+       count(DISTINCT url) AS n_docs
+FROM mentions GROUP BY type"""
+
+
+# ------------------------------------------------------------------- J1/J3
+def q_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _oracle_mentions(spark, sf_dir)
+    linked = linking.link_exact(m, linking.alias_df(spark))
+    return linked.select("url", "surface", "entity_id", "canonical_name")
+
+
+def q_link_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q_link_exact via the salted skew-join path —
+    checked against the SAME oracle SQL (strategy-independence)."""
+    m = _oracle_mentions(spark, sf_dir)
+    linked = linking.link_exact_salted(m, linking.alias_df(spark), salt=8)
+    return linked.select("url", "surface", "entity_id", "canonical_name")
+
+
+def _sql_link_exact() -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()}, {_sql_mentions_cte()},
+{DUCKDB_ALIASES_CTE}
+SELECT m.url, m.surface, a.entity_id, a.canonical_name
+FROM mentions m LEFT JOIN aliases a ON m.surface = a.alias_norm"""
+
+
+# --------------------------------------------------------------------- G3
+def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _oracle_mentions(spark, sf_dir)
+    linked = linking.link_mentions(m, linking.alias_df(spark), fuzzy=False)
+    canonical = triples_op.canonicalize(linked)
+    counts = triples_op.triple_counts(triples_op.emit_triples(canonical))
+    return counts.select(
+        "subj", "pred", "obj",
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def _sql_triples() -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()}, {_sql_mentions_cte()},
+{DUCKDB_ALIASES_CTE},
+ents AS (
+  SELECT DISTINCT m.url, a.canonical_name AS entity_name
+  FROM mentions m JOIN aliases a ON m.surface = a.alias_norm)
+SELECT a.entity_name AS subj, 'cooccurs_with' AS pred, b.entity_name AS obj,
+       count(*) AS n_sents, count(DISTINCT a.url) AS n_docs
+FROM ents a JOIN ents b ON a.url = b.url AND a.entity_name < b.entity_name
+GROUP BY 1, 2, 3"""
+
+
+# ----------------------------------------------------------------- E2 / J5
+def q_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = _oracle_mentions(spark, sf_dir).select(
+        F.col("url").alias("doc_id"), "sent_id", "begin", "end", "type")
+    pred = _oracle_mentions(spark, sf_dir, PRED_GAZ).select(
+        F.col("url").alias("doc_id"), "sent_id", "begin", "end", "type")
+    prf = span_prf(pred, gold, by_type=True)
+    return prf.select(
+        "type",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(F.col("f1") * 1_000_000).cast("long").alias("f1_scaled"),
+    )
+
+
+def _sql_span_f1() -> str:
+    pred_vals = ", ".join(f"('{s}', '{t}')" for s, t in PRED_GAZ.items())
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()},
+pgaz(surface, type) AS (VALUES {pred_vals}),
+{_sql_mentions_cte()},
+pmentions AS (
+  SELECT p.url, g.surface,
+         CAST(list_position(string_split(p.text, ' '), g.surface) - 1 AS INTEGER)
+           AS begin_pos,
+         g.type
+  FROM pages p JOIN pgaz g
+    ON list_contains(string_split(p.text, ' '), g.surface)),
+tp AS (SELECT p.type, count(*) AS tp FROM pmentions p
+       WHERE EXISTS (SELECT 1 FROM mentions g WHERE g.url = p.url
+                     AND g.begin_pos = p.begin_pos AND g.type = p.type)
+       GROUP BY 1),
+fp AS (SELECT p.type, count(*) AS fp FROM pmentions p
+       WHERE NOT EXISTS (SELECT 1 FROM mentions g WHERE g.url = p.url
+                         AND g.begin_pos = p.begin_pos AND g.type = p.type)
+       GROUP BY 1),
+fn AS (SELECT g.type, count(*) AS fn FROM mentions g
+       WHERE NOT EXISTS (SELECT 1 FROM pmentions p WHERE p.url = g.url
+                         AND p.begin_pos = g.begin_pos AND p.type = g.type)
+       GROUP BY 1),
+m AS (
+  SELECT coalesce(tp.type, fp.type, fn.type) AS type,
+         coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
+         coalesce(fn.fn, 0) AS fn
+  FROM tp FULL JOIN fp ON tp.type = fp.type
+          FULL JOIN fn ON coalesce(tp.type, fp.type) = fn.type)
+SELECT type, tp, fp, fn,
+  CAST(round(CASE WHEN (tp / greatest(tp + fp, 1)::DOUBLE)
+                     + (tp / greatest(tp + fn, 1)::DOUBLE) > 0
+    THEN 2 * (tp / greatest(tp + fp, 1)::DOUBLE)
+           * (tp / greatest(tp + fn, 1)::DOUBLE)
+         / ((tp / greatest(tp + fp, 1)::DOUBLE)
+            + (tp / greatest(tp + fn, 1)::DOUBLE))
+    ELSE 0.0 END * 1000000) AS BIGINT) AS f1_scaled
+FROM m"""
+
+
+# ------------------------------------------------------------- text analysis
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "lang",
+        TS.token_count(t).alias("ntok"),
+        TS.bpe_ish_token_count(t).alias("nbpe"),
+        (TS.quality_score(t) >= 0.7).cast("int").alias("hi_q"),
+        (TS.lang_id(t) == "en").cast("int").alias("is_en"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("sum_tokens"),
+        F.sum("nbpe").cast("long").alias("sum_bpe_tokens"),
+        F.sum("hi_q").cast("long").alias("n_hi_quality"),
+        F.sum("is_en").cast("long").alias("n_langid_en"),
+    )
+
+
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in TS.STOP_SUBSET) + "]"
+_BPE_PAT = r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\s]"
+_PUNCT_NEG = r"[^!-/:-@\[-`{-~]"
+
+
+def _sql_quality_expr(t: str = "text") -> str:
+    toks = f"string_split({t}, ' ')"
+    n = f"greatest(len({toks}), 1)"
+    wl = f"(list_sum(list_transform({toks}, x -> length(x)))::DOUBLE / {n})"
+    pr = (f"(length(regexp_replace({t}, '{_PUNCT_NEG}', '', 'g'))::DOUBLE"
+          f" / greatest(length({t}), 1))")
+    sr = (f"(len(list_filter({toks}, x -> list_contains({_STOPS_SQL},"
+          f" lower(x))))::DOUBLE / {n})")
+    return (
+        f"((CASE WHEN len({toks}) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)"
+        f" + (CASE WHEN {wl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)"
+        f" + (1.0 - least({pr} * 5, 1.0))"
+        f" + least({sr} * 4, 1.0)) / 4"
+    )
+
+
+def _sql_stop_ratio(t: str = "text") -> str:
+    toks = f"string_split({t}, ' ')"
+    return (f"(len(list_filter({toks}, x -> list_contains({_STOPS_SQL},"
+            f" lower(x))))::DOUBLE / greatest(len({toks}), 1))")
+
+
+def _sql_textstats() -> str:
+    return f"""
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+  CAST(sum(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT)
+    AS sum_bpe_tokens,
+  CAST(sum(CASE WHEN {_sql_quality_expr()} >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hi_quality,
+  CAST(sum(CASE WHEN {_sql_stop_ratio()} >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_langid_en
+FROM documents GROUP BY lang"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.where((F.col("lang") == "en")
+                & (TS.quality_score(F.col("text")) >= 0.6))
+        .groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"))
+    )
+
+
+def _sql_quality_filter() -> str:
+    return f"""
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE lang = 'en' AND {_sql_quality_expr()} >= 0.6
+GROUP BY source"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+
+
+def _sql_fingerprint() -> str:
+    h = duckdb_portable_hash("substr(norm, CAST(i AS INTEGER), 8)", seed=7)
+    return f"""
+WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+           FROM documents)
+SELECT doc_id,
+  CASE WHEN length(norm) < 8
+       THEN {duckdb_portable_hash("norm", seed=7)}
+       ELSE list_min(list_transform(range(1, length(norm) - 6),
+                     i -> {h}))
+  END AS fp
+FROM n"""
+
+
+# ------------------------------------------------------------------- dedup
+def _augmented_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return d.unionByName(dup)
+
+
+_SQL_AUG_EXACT = """aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = dedup.exact_dup_groups(_augmented_exact(spark, sf_dir))
+    return groups.select(
+        "content_md5",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("keeper_id").cast("long").alias("keeper_id"))
+
+
+def _sql_dedup_exact() -> str:
+    return f"""
+WITH {_SQL_AUG_EXACT}
+SELECT md5(text) AS content_md5, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id
+FROM aug GROUP BY 1 HAVING count(*) > 1"""
+
+
+def _augmented_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + 80%-prefix near-copies of every 5th doc."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    trunc = F.concat_ws(
+        " ", F.slice(toks, 1, F.floor(F.size(toks) * 0.8).cast("int")))
+    near = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), trunc.alias("text"))
+    return d.unionByName(near)
+
+
+_SQL_AUG_NEAR = """aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           CAST(floor(len(string_split(text, ' ')) * 0.8) AS INTEGER)), ' ')
+    AS text
+  FROM documents WHERE doc_id % 5 = 0)"""
+
+_MINHASH_N, _BAND_SIZE, _SHINGLE_K, _MIN_J = 16, 4, 3, 0.4
+
+
+def _sql_shingles(t: str = "text", k: int = _SHINGLE_K) -> str:
+    toks = f"string_split({t}, ' ')"
+    return (
+        f"(CASE WHEN len({toks}) < {k} THEN [{t}] "
+        f"ELSE list_distinct(list_transform("
+        f"range(1, len({toks}) - {k - 2}), "
+        f"i -> array_to_string(list_slice({toks}, CAST(i AS INTEGER), "
+        f"CAST(i AS INTEGER) + {k - 1}), ' '))) END)"
+    )
+
+
+def _sql_minhash_sig(shingles_expr: str, n_hashes: int = _MINHASH_N) -> list[str]:
+    return [
+        "list_min(list_transform(" + shingles_expr + ", s -> "
+        + duckdb_portable_hash("s", seed=i) + "))"
+        for i in range(n_hashes)
+    ]
+
+
+def _sql_bands(sig_cols: list[str], band_size: int = _BAND_SIZE) -> list[str]:
+    out = []
+    for b in range(len(sig_cols) // band_size):
+        parts = sig_cols[b * band_size:(b + 1) * band_size]
+        joined = ", ',', ".join(f"CAST({p} AS VARCHAR)" for p in parts)
+        out.append(f"md5(concat({joined}))")
+    return out
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_near(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        aug, min_jaccard=_MIN_J, n_hashes=_MINHASH_N,
+        band_size=_BAND_SIZE, shingle_k=_SHINGLE_K)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round(F.col("jaccard") * 1_000_000).cast("long").alias("j_scaled"))
+
+
+def _sql_minhash_pairs() -> str:
+    sig = _sql_minhash_sig("s")
+    bands = _sql_bands(sig)
+    band_rows = ", ".join(
+        f"({i}, {b})" for i, b in enumerate(bands))
+    return f"""
+WITH {_SQL_AUG_NEAR},
+sh AS (SELECT doc_id, {_sql_shingles('text')} AS s FROM aug),
+bands AS (
+  SELECT doc_id, s, band_id, digest
+  FROM sh, LATERAL (VALUES {band_rows}) AS b(band_id, digest)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.digest = b.digest AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.s, sb.s))::DOUBLE /
+         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, CAST(round(j * 1000000) AS BIGINT) AS j_scaled
+FROM verified WHERE j >= {_MIN_J}"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_table(_docs(spark, sf_dir), bits=32, shingle_k=2)
+
+
+def _sql_simhash() -> str:
+    sh = _sql_shingles("text", 2)
+    h = duckdb_portable_hash("s", seed=0)
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1))"
+        f" >= len(hs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32))
+    return f"""
+WITH hsh AS (
+  SELECT doc_id, list_transform({sh}, s -> {h}) AS hs FROM documents)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hsh"""
+
+
+# --------------------------------------------------- G2 connected components
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_near(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        aug, min_jaccard=_MIN_J, n_hashes=_MINHASH_N,
+        band_size=_BAND_SIZE, shingle_k=_SHINGLE_K)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes")).select(
+        F.col("component").cast("long").alias("component"),
+        F.col("n_nodes").cast("long"))
+
+
+def _sql_components() -> str:
+    return f"""
+WITH {_SQL_AUG_NEAR},
+sh AS (SELECT doc_id, {_sql_shingles('text')} AS s FROM aug),
+bands AS (
+  SELECT doc_id, s, band_id, digest
+  FROM sh, LATERAL (VALUES {", ".join(f"({i}, {b})" for i, b in enumerate(_sql_bands(_sql_minhash_sig('s'))))}) AS b(band_id, digest)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.digest = b.digest AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT c.id_a AS src, c.id_b AS dst
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {_MIN_J}),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+walk AS (
+  WITH RECURSIVE w(node, reach) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT w.node, s.b FROM w JOIN sym s ON s.a = w.reach)
+  SELECT node, min(reach) AS component FROM w GROUP BY node)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM walk GROUP BY component"""
+
+
+# ------------------------------------------------------------- similarity
+_KNN_QUERIES, _KNN_K = 8, 3
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    out = similarity.cosine_topk(
+        e, e.where(F.col("vec_id") < _KNN_QUERIES), k=_KNN_K)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"))
+
+
+_SQL_COS = ("list_dot_product(q.v, c.v) / "
+            "(sqrt(list_dot_product(q.v, q.v)) * "
+            "sqrt(list_dot_product(c.v, c.v)))")
+
+
+def _sql_knn() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SQL_COS} AS sim
+  FROM e q JOIN e c ON q.vec_id < {_KNN_QUERIES} AND c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id
+FROM ranked WHERE rank <= {_KNN_K}"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH-bucketed variant (rows-only check — the bucket
+    restriction has no tidy closed form, and approximate recall is
+    validated against exact q_knn in pytest)."""
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    return similarity.lsh_topk(
+        e, e.where(F.col("vec_id") < _KNN_QUERIES), dim=dim, k=_KNN_K)
+
+
+def q_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.embedding_near_pairs(_emb(spark, sf_dir), min_sim=0.25)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"))
+
+
+def _sql_embdup() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT CAST(q.vec_id AS BIGINT) AS id_a, CAST(c.vec_id AS BIGINT) AS id_b
+FROM e q JOIN e c ON c.vec_id = q.vec_id + 1
+WHERE {_SQL_COS} >= 0.25"""
+
+
+# ------------------------------------------------- relational breadth (TPC-H)
+def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 100).cast("long")).cast("long").alias("revenue_cents"),
+        F.sum(F.round(F.col("l_discount") * 10000).cast("long"))
+        .cast("long").alias("sum_disc_bp"),
+    )
+
+
+def _sql_pricing() -> str:
+    return """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+    AS BIGINT) AS revenue_cents,
+  CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_orderpriority",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    .alias("total_cents")))
+
+
+def _sql_top_orders() -> str:
+    return """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders)
+SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM ranked WHERE rank <= 3"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+def _sql_order_priority() -> str:
+    return """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority"""
+
+
+def q_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+        .alias("value_cents"),
+    )
+
+
+def _sql_events() -> str:
+    return """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type"""
+
+
+# ---------------------------------------------------- full pipeline (no SQL)
+def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multiword-gazetteer KG pipeline (sentence chunking, SP1
+    subsequence quirks, fuzzy linking). Non-SQL-expressible — the
+    n-th-occurrence/-1-index alignment semantics have no closed form;
+    covered by golden replay + property tests instead."""
+    from .pipeline import build_pipeline
+    res = build_pipeline(spark, sf_dir)
+    return res.triple_counts.select(
+        "subj", "pred", "obj",
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def q_verified_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP3 type-verification pass: the deterministic backend re-derives
+    each mention's type, so type_final == type — checked against the
+    mention oracle SQL (same closed form, type column renamed)."""
+    pages = synthesize_pages(spark, sf_dir)
+    sents = pages.select("url", F.lit(0).cast("int").alias("sent_id"), "text")
+    m = _oracle_mentions(spark, sf_dir)
+    v = verify_types(m, sents,
+                     backend_factory=lambda: RetryingBackend(
+                         GazetteerBackend(ORACLE_GAZETTEER)))
+    return v.select("url", "surface",
+                    F.col("begin").alias("begin_pos"),
+                    F.col("type_final").alias("type"))
+
+
+# ------------------------------------------------------------------ registry
+QUERIES = {
+    "q_extract_text": q_extract_text,
+    "q_mentions": q_mentions,
+    "q_mention_type_counts": q_mention_type_counts,
+    "q_link_exact": q_link_exact,
+    "q_link_salted": q_link_salted,
+    "q_triples": q_triples,
+    "q_span_f1": q_span_f1,
+    "q_textstats": q_textstats,
+    "q_quality_filter": q_quality_filter,
+    "q_fingerprint": q_fingerprint,
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash": q_simhash,
+    "q_components": q_components,
+    "q_knn": q_knn,
+    "q_knn_lsh": q_knn_lsh,
+    "q_embdup": q_embdup,
+    "q_pricing": q_pricing,
+    "q_top_orders": q_top_orders,
+    "q_order_priority": q_order_priority,
+    "q_events": q_events,
+    "q_pipeline_triples": q_pipeline_triples,
+    "q_verified_mentions": q_verified_mentions,
+}
+
+ORACLE_SQL = {
+    "q_extract_text": _sql_extract_text(),
+    "q_mentions": _sql_mentions(),
+    "q_mention_type_counts": _sql_mention_type_counts(),
+    "q_link_exact": _sql_link_exact(),
+    "q_link_salted": _sql_link_exact(),
+    "q_triples": _sql_triples(),
+    "q_span_f1": _sql_span_f1(),
+    "q_textstats": _sql_textstats(),
+    "q_quality_filter": _sql_quality_filter(),
+    "q_fingerprint": _sql_fingerprint(),
+    "q_dedup_exact": _sql_dedup_exact(),
+    "q_minhash_pairs": _sql_minhash_pairs(),
+    "q_simhash": _sql_simhash(),
+    "q_components": _sql_components(),
+    "q_knn": _sql_knn(),
+    "q_embdup": _sql_embdup(),
+    "q_pricing": _sql_pricing(),
+    "q_top_orders": _sql_top_orders(),
+    "q_order_priority": _sql_order_priority(),
+    "q_events": _sql_events(),
+    "q_verified_mentions": _sql_mentions(),
+    # q_knn_lsh, q_pipeline_triples: rows-only (approximate / no closed form)
+}
