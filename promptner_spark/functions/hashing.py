@@ -86,16 +86,49 @@ def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
 def minhash_bands(shingles: Column, n_hashes: int = 16,
                   band_size: int = 4) -> Column:
     """LSH band digests: md5 over each ``band_size`` slice of the
-    signature. Join key = (band index, digest)."""
-    sig = minhash_signature(shingles, n_hashes)
+    signature. Join key = (band index, digest).
+
+    Bands are assembled directly from the per-permutation min
+    expressions (NOT via ``element_at(array(...), i)``) so each of the
+    ``n_hashes`` permutations is evaluated exactly once regardless of
+    which optimizer folds apply."""
     n_bands = n_hashes // band_size
     return F.array(*[
         F.md5(F.concat_ws(",", *[
-            F.element_at(sig, b * band_size + r + 1).cast("string")
+            _seeded_min(shingles, b * band_size + r).cast("string")
             for r in range(band_size)
         ]))
         for b in range(n_bands)
     ])
+
+
+def fast_minhash_bands(shingles: Column, n_hashes: int = 16,
+                       band_size: int = 4) -> Column:
+    """LSH band digests via native ``xxhash64`` — the hot-path variant
+    used inside the pipeline's fuzzy linking, where no DuckDB oracle
+    needs to replay the hash (the md5 variant above exists exactly for
+    oracle-checkable queries). xxhash64 is a single JVM intrinsic per
+    shingle vs md5→hex→conv→substring, ~10× cheaper per row; Catalyst
+    folds ``element_at(array(...), lit)`` so each permutation is
+    evaluated once."""
+    # CRITICAL: the signature is ONE nested-transform expression, so the
+    # (potentially large) ``shingles`` expression tree appears exactly
+    # once in the plan. Expanding it per-permutation (16 copies) blows
+    # the generated code past Janino's comfort zone — multi-second
+    # compile per stage and multi-MiB task binaries.
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(i, s))),
+    )
+    n_bands = n_hashes // band_size
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(sig, b * band_size + 1, band_size),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.xxhash64(acc, x)),
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:

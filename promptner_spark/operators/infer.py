@@ -49,8 +49,12 @@ def run_inference(
         "url", "sent_id", "text",
         completion_prompt(spec, F.col("text")).alias("prompt"),
     )
-    if partitions:
-        df = df.repartition(partitions, F.hash(F.col("url")))
+    # Always spread the expensive UDF stage across the cluster: a small
+    # upstream file count (or a coalesced scan) must never serialize
+    # inference. Explicit url-hash repartition per north_rule.
+    if partitions is None:
+        partitions = sentences.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(partitions, F.hash(F.col("url")))
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = backend_factory()  # once per task
@@ -65,3 +69,57 @@ def run_inference(
             })
 
     return df.mapInPandas(infer, schema=schema.INFERRED)
+
+
+def extract_mentions(
+    sentences: DataFrame,
+    spec: PromptSpec | None = None,
+    backend_factory: Callable[[], Backend] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fused inference → parse → span-align → mention-explode stage:
+    ONE Arrow crossing instead of three (infer + tag + mention UDFs).
+
+    Per-row pure (same oracle chain as operators/parse.py), so output
+    is independent of partitioning — but the whole hot path runs in a
+    single ``mapInPandas`` pass: prompts in, mention rows out. At
+    100 TB this halves Arrow ser/de volume and removes two pipelined
+    Python stages per task. Output: schema.MENTIONS.
+    """
+    from ..oracle.spans import tags_to_mentions
+    from .parse import predict_tags
+
+    spec = spec or PromptSpec()
+    backend_factory = backend_factory or default_backend_factory
+
+    # Unlike run_inference, the prompt column is NOT materialized
+    # JVM-side: the prefix/suffix are constants, so rendering them
+    # per-row would multiply the shuffle and Arrow IPC volume by the
+    # template size for no benefit. Only (url, sent_id, text) crosses
+    # the exchange and the Arrow boundary; the template travels once,
+    # in the task closure.
+    df = sentences.select("url", "sent_id", "text")
+    if partitions is None:
+        partitions = sentences.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(partitions, F.hash(F.col("url")))
+    prefix, suffix = spec.prefix(), PromptSpec.SUFFIX
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = backend_factory()
+        for pdf in batches:
+            pdf = pdf.sort_values(["url", "sent_id"], kind="mergesort")
+            raws = backend.generate(
+                [prefix + t + suffix for t in pdf["text"]])
+            rows: list[tuple] = []
+            for url, sent_id, text, raw in zip(
+                    pdf["url"], pdf["sent_id"], pdf["text"], raws):
+                tags = predict_tags(text, raw)
+                for mid, m in enumerate(
+                        tags_to_mentions(text.lower().split(" "), tags)):
+                    rows.append((url, int(sent_id), mid, m["surface"],
+                                 m["begin"], m["end"], m["type"], None))
+            yield pd.DataFrame(
+                rows, columns=["url", "sent_id", "mention_id", "surface",
+                               "begin", "end", "type", "raw_output"])
+
+    return df.mapInPandas(fused, schema=schema.MENTIONS)

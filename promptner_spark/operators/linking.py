@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import schema
-from ..functions.hashing import char_shingles, jaccard, minhash_bands
+from ..functions.hashing import char_shingles, fast_minhash_bands, jaccard
 from .gazetteer import ALIAS_ROWS
 
 _PUNCT_CLASS = r"^[!-/:-@\[-`{-~\s]+|[!-/:-@\[-`{-~\s]+$"
@@ -79,51 +79,99 @@ def link_fuzzy_candidates(
 ) -> DataFrame:
     """J2: MinHash-LSH candidate generation for surfaces with no exact
     alias hit, verified by true Jaccard. Join key is (band_id,
-    band_hash) — bounded fanout, shuffle only on bucket keys."""
+    band_hash) — bounded fanout, shuffle only on bucket keys.
+
+    The expensive part (shingling + n_hashes minhash permutations) is
+    computed once per DISTINCT normalized surface, never per mention
+    occurrence — the surface vocabulary is orders of magnitude smaller
+    than the mention stream at web scale (Zipf), so this turns an
+    O(mentions) hash bill into an O(vocab) one. Output: one best
+    candidate per distinct ``m_norm``; callers join it back on the
+    norm key."""
+    vocab = unlinked.select(
+        norm_surface(F.col("surface")).alias("m_norm")).distinct()
+
     def with_bands(df: DataFrame, col: str, out: str) -> DataFrame:
         sh = char_shingles(F.col(col), shingle_k)
-        return df.withColumn(out, minhash_bands(sh, n_hashes, band_size))
+        return df.withColumn(out, fast_minhash_bands(sh, n_hashes, band_size))
 
-    m = with_bands(
-        unlinked.select("url", "sent_id", "mention_id",
-                        norm_surface(F.col("surface")).alias("m_norm")),
-        "m_norm", "m_bands",
-    ).select("url", "sent_id", "mention_id", "m_norm",
-             F.posexplode("m_bands").alias("band_id", "band_hash"))
+    m = with_bands(vocab, "m_norm", "m_bands").select(
+        "m_norm", F.posexplode("m_bands").alias("band_id", "band_hash"))
 
     a = with_bands(aliases, "alias_norm", "a_bands").select(
         "alias_norm", "entity_id", "canonical_name",
         F.posexplode("a_bands").alias("band_id", "band_hash"))
 
     cand = m.join(a, ["band_id", "band_hash"]).dropDuplicates(
-        ["url", "sent_id", "mention_id", "entity_id"])
+        ["m_norm", "entity_id"])
     sim = jaccard(char_shingles(F.col("m_norm"), shingle_k),
                   char_shingles(F.col("alias_norm"), shingle_k))
     return (
         cand.withColumn("jaccard", sim)
         .where(F.col("jaccard") >= min_jaccard)
-        # best candidate per mention: highest jaccard, entity_id tiebreak
+        # best candidate per surface: highest jaccard, entity_id tiebreak
         .withColumn("rk", F.row_number().over(
-            Window.partitionBy("url", "sent_id", "mention_id")
+            Window.partitionBy("m_norm")
             .orderBy(F.desc("jaccard"), F.asc("entity_id"))))
         .where(F.col("rk") == 1).drop("rk")
     )
 
 
-def link_mentions(mentions: DataFrame, aliases: DataFrame,
-                  fuzzy: bool = True) -> DataFrame:
-    """Full linking: exact broadcast join, then LSH fuzzy pass over the
-    misses, unioned. Output adds entity_id / canonical_name (nullable —
-    NIL mentions stay unlinked for canonicalization by co-reference)."""
-    exact = link_exact(mentions, aliases)
-    hit = exact.where(F.col("entity_id").isNotNull())
+def build_resolution(mentions: DataFrame, aliases: DataFrame,
+                     fuzzy: bool = True) -> DataFrame:
+    """Surface-vocabulary resolution dictionary: one row per distinct
+    normalized surface, with its resolved entity (exact alias match
+    first, MinHash-LSH fuzzy fallback) or NULLs for NIL surfaces.
+
+    Columns: (m_norm, entity_id, canonical_name, alias_norm, prior).
+    """
+    # Persisted: (a) the vocabulary is read by the exact, fuzzy and NIL
+    # branches — one distinct pass over the mention stream instead of
+    # three; (b) the InMemoryRelation is a predicate-pushdown barrier —
+    # without it Catalyst pushes the fuzzy join's isnotnull(band_hash)
+    # condition through the posexplode and BELOW this aggregate,
+    # re-evaluating the whole MinHash-band expression on every raw
+    # mention row (observed: ~1000× the intended hash work).
+    vocab = mentions.select(
+        norm_surface(F.col("surface")).alias("m_norm")).distinct().persist()
+    exact = vocab.join(F.broadcast(aliases),
+                       vocab["m_norm"] == aliases["alias_norm"], "left")
     if not fuzzy:
         return exact
-    miss = exact.where(F.col("entity_id").isNull()).drop(
-        "alias_norm", "entity_id", "canonical_name", "prior")
-    fz = link_fuzzy_candidates(miss, aliases).select(
-        "url", "sent_id", "mention_id", "entity_id",
-        "canonical_name", "alias_norm")
-    relinked = miss.join(fz, ["url", "sent_id", "mention_id"], "left") \
-        .withColumn("prior", F.lit(None).cast("double"))
-    return hit.unionByName(relinked, allowMissingColumns=True)
+    hit = exact.where(F.col("entity_id").isNotNull())
+    miss = exact.where(F.col("entity_id").isNull()).select("m_norm")
+    fz = link_fuzzy_candidates(
+        miss.withColumnRenamed("m_norm", "surface"), aliases
+    ).withColumn("prior", F.lit(None).cast("double")) \
+        .select("m_norm", "entity_id", "canonical_name", "alias_norm", "prior")
+    nil = miss.join(fz.select("m_norm"), "m_norm", "left_anti").select(
+        "m_norm",
+        F.lit(None).cast("long").alias("entity_id"),
+        F.lit(None).cast("string").alias("canonical_name"),
+        F.lit(None).cast("string").alias("alias_norm"),
+        F.lit(None).cast("double").alias("prior"),
+    )
+    return hit.select("m_norm", "entity_id", "canonical_name",
+                      "alias_norm", "prior").unionByName(fz).unionByName(nil)
+
+
+def link_mentions(mentions: DataFrame, aliases: DataFrame,
+                  fuzzy: bool = True) -> DataFrame:
+    """Full linking: exact broadcast join with LSH fuzzy fallback.
+    Output adds entity_id / canonical_name (nullable — NIL mentions
+    stay unlinked for canonicalization by co-reference).
+
+    Architecture for the trillion-row stream: all per-surface work
+    (normalization lookup, MinHash banding, Jaccard verify) happens on
+    the DISTINCT surface vocabulary — orders of magnitude smaller than
+    the mention stream (Zipf) — producing a resolution dictionary that
+    is broadcast back. The mention stream itself is scanned exactly
+    once and never shuffled; hub surfaces ("united states") cannot skew
+    anything because the join is broadcast-hash, not key-partitioned."""
+    resolution = build_resolution(mentions, aliases, fuzzy=fuzzy)
+    return mentions.withColumn(
+        "m_norm_key", norm_surface(F.col("surface"))
+    ).join(
+        F.broadcast(resolution),
+        F.col("m_norm_key") == resolution["m_norm"], "left",
+    ).drop("m_norm_key", "m_norm")

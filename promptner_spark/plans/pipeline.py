@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import linking, triples as triples_op
-from ..operators.infer import run_inference
+from ..operators.infer import extract_mentions, run_inference
 from ..operators.parse import explode_mentions, parse_and_align
 from ..operators.verify import verify_types
 from ..sources.pages import pages_with_extracted_text
@@ -49,19 +49,27 @@ def build_pipeline(
     partitions: int | None = None,
     with_verify: bool = False,
     fuzzy_link: bool = True,
+    replicate: int = 1,
 ) -> PipelineResult:
     """Pure-DAG pipeline (no materialization)."""
-    pages = pages_with_extracted_text(spark, sf_dir)
+    pages = pages_with_extracted_text(spark, sf_dir, replicate=replicate)
     sentences = split_sentences(pages)
-    inferred = run_inference(sentences, partitions=partitions)
-    aligned = parse_and_align(inferred)
-    mentions = explode_mentions(aligned)
+    # Fused infer→parse→align→explode: one Arrow crossing (see
+    # operators/infer.py::extract_mentions). Persisted because linking
+    # references mentions on both its hit and miss branches, and
+    # nodes/triples/counts all hang off it — without a materialization
+    # boundary the inference UDF would re-run per branch.
+    # (run_pipeline gets the same boundary from its checkpoint writes;
+    # at 100 TB this IS the materialized mentions table.)
+    mentions = extract_mentions(sentences, partitions=partitions).persist()
     if with_verify:
         mentions = verify_types(mentions, sentences).withColumn(
             "type", F.col("type_final")).drop("type_verified", "type_final")
     aliases = linking.alias_df(spark)
     linked = linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link)
-    canonical = triples_op.canonicalize(linked)
+    # Persisted for the same reason as mentions: the triple self-join
+    # reads it from both sides, and nodes/counts branch off it.
+    canonical = triples_op.canonicalize(linked).persist()
     nodes = triples_op.nodes_table(canonical)
     trips = triples_op.emit_triples(canonical)
     counts = triples_op.triple_counts(trips)
@@ -89,8 +97,7 @@ def run_pipeline(
         lambda: split_sentences(pages))
     mentions = run_stage(
         spark, checkpoint_root, "mentions",
-        lambda: explode_mentions(parse_and_align(
-            run_inference(sentences, partitions=partitions))))
+        lambda: extract_mentions(sentences, partitions=partitions))
     aliases = linking.alias_df(spark)
     linked = run_stage(
         spark, checkpoint_root, "linked",

@@ -164,8 +164,11 @@ FROM mentions m LEFT JOIN aliases a ON m.surface = a.alias_norm"""
 
 # --------------------------------------------------------------------- G3
 def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _oracle_mentions(spark, sf_dir)
-    linked = linking.link_mentions(m, linking.alias_df(spark), fuzzy=False)
+    # Persisted: canonicalize feeds a self-join (emit_triples) plus the
+    # counts agg — without the boundary the inference/parse UDF chain
+    # would re-run once per plan branch.
+    m = _oracle_mentions(spark, sf_dir).persist()
+    linked = linking.link_exact(m, linking.alias_df(spark))
     canonical = triples_op.canonicalize(linked)
     counts = triples_op.triple_counts(triples_op.emit_triples(canonical))
     return counts.select(

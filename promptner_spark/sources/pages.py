@@ -53,14 +53,31 @@ def extract_text(html: Column) -> Column:
     return F.regexp_extract(F.decode(html, "UTF-8"), EXTRACT_PATTERN, 1)
 
 
-def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthesize_pages(spark: SparkSession, sf_dir: str,
+                     replicate: int = 1) -> DataFrame:
     """documents.parquet → pages table per input_hint.
 
     ``warc_ts`` is a deterministic function of doc_id (one second per
     doc from a fixed epoch). ``text`` is kept alongside ``html``; the
     pipeline recomputes it from html and asserts equality.
+
+    ``replicate=R`` deterministically blows the corpus up ×R (distinct
+    doc_ids/urls, identical text) — the bench harness uses this to make
+    the scaling measurement compute-dominated rather than
+    fixed-overhead-dominated at sandbox data sizes.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        # Spread the explode across the cluster first — a small parquet
+        # is one input split, and a ×R Generate on one task is a serial
+        # bottleneck.
+        docs = docs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).withColumn(
+            "__rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).withColumn(
+            "doc_id", F.col("doc_id") * replicate + F.col("__rep")
+        ).drop("__rep")
     return docs.select(
         url_of(F.col("doc_id")).alias("url"),
         F.timestamp_seconds(
@@ -72,11 +89,12 @@ def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pages_with_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_with_extracted_text(spark: SparkSession, sf_dir: str,
+                              replicate: int = 1) -> DataFrame:
     """Pages + ``extracted`` column (coalesce(text, extract(html))) —
     the first pipeline stage. ``extract_ok`` flags the byte-identity
     invariant for the lineage manifest."""
-    pages = synthesize_pages(spark, sf_dir)
+    pages = synthesize_pages(spark, sf_dir, replicate=replicate)
     extracted = extract_text(F.col("html"))
     return pages.select(
         "url", "warc_ts", "lang",
