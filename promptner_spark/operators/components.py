@@ -33,6 +33,12 @@ def connected_components(
     # symmetrize + self-loops: every node maps to itself initially
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # The edge list is re-joined EVERY round — without a materialization
+    # boundary its (possibly expensive) upstream lineage would re-run
+    # per iteration. At cluster scale this is the materialized edges
+    # table; here localCheckpoint doubles as the lineage truncation.
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("comp"))
 
@@ -45,6 +51,19 @@ def connected_components(
         new_labels = (
             labels.unionByName(neighbor_lbl)
             .groupBy("node").agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping (shortcut): comp values are node ids, so one
+        # extra self-join replaces each label with its label's label —
+        # convergence drops from O(diameter) to O(log diameter) rounds,
+        # which is what bounds the round count on web-scale graphs
+        # (north_rule: checkpointed iterations must stay few).
+        jump = new_labels.select(F.col("node").alias("j_node"),
+                                 F.col("comp").alias("j_comp"))
+        new_labels = (
+            new_labels.join(jump, new_labels["comp"] == jump["j_node"],
+                            "left")
+            .select("node",
+                    F.coalesce("j_comp", "comp").alias("comp"))
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)

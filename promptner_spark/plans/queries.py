@@ -697,8 +697,71 @@ def q_verified_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("type_final").alias("type"))
 
 
+# ------------------------------------------------------------- multimodal
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata triage (operators/multimodal.py): byte
+    length, magic prefix, content digest — all JVM expressions."""
+    from ..operators import multimodal as MM
+    return MM.media_metadata(MM.synthesize_media(spark, sf_dir)).select(
+        "url", "media_type", "meta_width", "n_bytes", "content_md5")
+
+
+def _sql_media_meta() -> str:
+    from ..operators.multimodal import DUCKDB_MEDIA_CTE
+    return f"""
+WITH {DUCKDB_MEDIA_CTE}
+SELECT url, media_type, meta_width,
+       octet_length(encode(blob_text)) AS n_bytes,
+       md5(blob_text) AS content_md5
+FROM media"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/window sampling over binary blobs: per-url frame counts
+    and reassembly invariant (sum of frame bytes == blob bytes)."""
+    from ..operators import multimodal as MM
+    frames = MM.sample_frames(MM.synthesize_media(spark, sf_dir))
+    return frames.groupBy("url", "media_type").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_bytes").alias("total_bytes"),
+    )
+
+
+def _sql_media_frames() -> str:
+    # frame digests need byte-level blob slicing (not SQL-expressible in
+    # DuckDB for multi-byte text), but the count/reassembly invariants
+    # are: n_frames = ceil(bytes/256); distinct digests <= n_frames is
+    # checked Spark-side, so the oracle covers counts + total bytes.
+    from ..operators.multimodal import DUCKDB_MEDIA_CTE, FRAME_BYTES
+    return f"""
+WITH {DUCKDB_MEDIA_CTE},
+f AS (SELECT url, media_type, octet_length(encode(blob_text)) AS n
+      FROM media)
+SELECT url, media_type,
+       CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+       CAST(n AS BIGINT) AS total_bytes
+FROM f WHERE n > 0"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract pandas-UDF path (deterministic fallback
+    codec in-sandbox); summarized per media_type so the rows-only check
+    still pins row counts. No SQL closed form (byte histogram)."""
+    from ..operators import multimodal as MM
+    feats = MM.extract_features(MM.synthesize_media(spark, sf_dir))
+    return feats.select(
+        "url", "media_type",
+        F.round(F.aggregate(F.col("features"), F.lit(0.0),
+                            lambda a, x: a + x), 4).alias("feature_sum"),
+        F.size("features").alias("n_bins"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 QUERIES = {
+    "q_media_meta": q_media_meta,
+    "q_media_frames": q_media_frames,
+    "q_media_features": q_media_features,
     "q_extract_text": q_extract_text,
     "q_mentions": q_mentions,
     "q_mention_type_counts": q_mention_type_counts,
@@ -725,6 +788,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_media_meta": _sql_media_meta(),
+    "q_media_frames": _sql_media_frames(),
     "q_extract_text": _sql_extract_text(),
     "q_mentions": _sql_mentions(),
     "q_mention_type_counts": _sql_mention_type_counts(),

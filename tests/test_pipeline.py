@@ -1,0 +1,96 @@
+"""Pipeline-level invariants (SURVEY.md §5.2 items 3, 6 + resume).
+
+- byte-identical text extraction per url (north_rule invariant);
+- fused extract_mentions ≡ the 3-stage unfused chain (the fusion is a
+  pure physical optimization);
+- triple set independent of partition count (determinism across
+  parallelism levels);
+- run_pipeline resumes from checkpoint without recomputing completed
+  stages.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_extraction_byte_identical(spark, sf_dir):
+    from promptner_spark.sources.pages import pages_with_extracted_text
+
+    pages = pages_with_extracted_text(spark, sf_dir)
+    n = pages.count()
+    assert n > 0
+    assert pages.where(~F.col("extract_ok")).count() == 0
+
+
+def test_fused_equals_unfused(spark, sf_dir):
+    from promptner_spark.operators.infer import extract_mentions, run_inference
+    from promptner_spark.operators.parse import explode_mentions, parse_and_align
+    from promptner_spark.sources.pages import pages_with_extracted_text
+    from promptner_spark.sources.sentences import split_sentences
+
+    sentences = split_sentences(pages_with_extracted_text(spark, sf_dir))
+    fused = extract_mentions(sentences, partitions=3)
+    unfused = explode_mentions(parse_and_align(
+        run_inference(sentences, partitions=5)))
+    cols = ["url", "sent_id", "mention_id", "surface", "begin", "end", "type"]
+    assert _rows(fused, cols) == _rows(unfused, cols)
+    assert len(_rows(fused, cols)) > 0
+
+
+def test_triples_partition_invariant(spark, sf_dir):
+    from promptner_spark.plans.pipeline import build_pipeline
+
+    a = build_pipeline(spark, sf_dir, partitions=2)
+    b = build_pipeline(spark, sf_dir, partitions=16)
+    cols = ["subj", "pred", "obj", "url", "sent_id"]
+    ra, rb = _rows(a.triples, cols), _rows(b.triples, cols)
+    a.mentions.unpersist(), b.mentions.unpersist()
+    assert ra == rb
+    assert len(ra) > 0
+
+
+def test_run_pipeline_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    from promptner_spark.plans.checkpoint import stage_is_complete
+    from promptner_spark.plans.pipeline import run_pipeline
+
+    root = str(tmp_path / "ckpt")
+    res1 = run_pipeline(spark, sf_dir, checkpoint_root=root)
+    counts1 = _rows(res1.triple_counts, ["subj", "pred", "obj", "n_sents"])
+    assert stage_is_complete(root, "mentions")
+    assert stage_is_complete(root, "triples")
+
+    # simulate a crash after the mentions stage: wipe every later stage
+    for stage in ("linked", "nodes", "triples", "triple_counts"):
+        marker = os.path.join(root, stage, "_SUCCESS_STAGE")
+        if os.path.exists(marker):
+            os.remove(marker)
+    mentions_marker_mtime = os.path.getmtime(
+        os.path.join(root, "mentions", "_SUCCESS_STAGE"))
+
+    res2 = run_pipeline(spark, sf_dir, checkpoint_root=root)
+    counts2 = _rows(res2.triple_counts, ["subj", "pred", "obj", "n_sents"])
+    assert counts1 == counts2
+    # completed stage was NOT recomputed (marker untouched)
+    assert os.path.getmtime(os.path.join(
+        root, "mentions", "_SUCCESS_STAGE")) == mentions_marker_mtime
+
+
+def test_manifest_records_partition_metrics(spark, sf_dir, tmp_path):
+    from promptner_spark.plans.checkpoint import read_manifest
+    from promptner_spark.plans.pipeline import run_pipeline
+
+    root = str(tmp_path / "ckpt")
+    res = run_pipeline(spark, sf_dir, checkpoint_root=root)
+    n_mentions = res.mentions.count()
+    man = read_manifest(spark, root, "mentions")
+    agg = man.agg(F.sum("output_rows").alias("rows"),
+                  F.min("status").alias("status")).collect()[0]
+    assert agg["rows"] == n_mentions
+    assert agg["status"] == "ok"
