@@ -17,7 +17,7 @@ mention table (fixing the reference's surface-keyed dict collision,
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..oracle.align import align_spans
 from ..oracle.clean import clean_answers
@@ -98,3 +98,27 @@ def explode_mentions(aligned: DataFrame, keep_raw: bool = False) -> DataFrame:
         (F.col("raw_output") if keep_raw else F.lit(None).cast("string")
          ).alias("raw_output"),
     )
+
+
+def split_phrases(mentions: DataFrame) -> DataFrame:
+    """P3 (`algorithms.py:158-175`): explode multi-word mention
+    surfaces into single-word mentions (off in every reference eval,
+    `run.py:76,94,112,130,154,177`). begin/end recompute per word;
+    mention_id renumbers by (begin, word ordinal) to stay
+    deterministic."""
+    words = F.posexplode(F.split(F.col("surface"), " "))
+    exploded = mentions.select(
+        "url", "sent_id", "begin", "type", "raw_output",
+        words.alias("w_idx", "word"),
+    ).where(F.length("word") > 0)
+    out = exploded.select(
+        "url", "sent_id",
+        (F.col("begin") + F.col("w_idx")).alias("begin"),
+        F.col("word").alias("surface"),
+        "type", "raw_output",
+    ).withColumn("end", F.col("begin") + 1)
+    w = Window.partitionBy("url", "sent_id").orderBy("begin")
+    return out.withColumn(
+        "mention_id", (F.row_number().over(w) - 1).cast("int")
+    ).select("url", "sent_id", "mention_id", "surface",
+             "begin", "end", "type", "raw_output")
