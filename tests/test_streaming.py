@@ -1,0 +1,81 @@
+"""Streaming ingest tests: the streaming path must produce the SAME
+mention rows as batch for the same input, resume from its checkpoint
+(no duplicates on restart with new files), and run the watermarked
+window aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def pages_dirs(spark, sf_dir, tmp_path):
+    """Split the synthesized pages into two parquet drops."""
+    from promptner_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir).limit(60)
+    a = pages.where(F.col("url").substr(-1, 1).isin("0", "1", "2", "3", "4"))
+    b = pages.subtract(a)
+    in_dir = str(tmp_path / "in")
+    a.write.mode("append").parquet(in_dir)
+    return in_dir, b, str(tmp_path)
+
+
+def _drain(spark, in_dir: str, out_dir: str, ckpt: str):
+    from promptner_spark.streaming import (
+        stream_mentions, stream_pages, write_mentions_stream)
+
+    q = write_mentions_stream(
+        stream_mentions(stream_pages(spark, in_dir), partitions=4),
+        out_dir, ckpt)
+    q.awaitTermination(120)
+
+
+def test_stream_matches_batch_and_resumes(spark, sf_dir, pages_dirs):
+    from promptner_spark.operators.infer import extract_mentions
+    from promptner_spark.sources.sentences import split_sentences
+
+    in_dir, drop_b, root = pages_dirs
+    out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    _drain(spark, in_dir, out_dir, ckpt)
+    first = spark.read.parquet(out_dir).count()
+    assert first > 0
+
+    # second drop lands; a RESTARTED query processes only the new files
+    drop_b.write.mode("append").parquet(in_dir)
+    _drain(spark, in_dir, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    batch = extract_mentions(
+        split_sentences(spark.read.parquet(in_dir)), partitions=4)
+    cols = ["url", "sent_id", "mention_id", "surface", "begin", "end", "type"]
+    a = sorted(tuple(r) for r in got.select(*cols).collect())
+    b = sorted(tuple(r) for r in batch.select(*cols).collect())
+    assert a == b            # identical rows, no duplicates from resume
+    assert len(a) > first    # and the second drop actually added rows
+
+
+def test_windowed_mention_rate(spark, sf_dir, tmp_path):
+    from promptner_spark.sources.pages import synthesize_pages
+    from promptner_spark.streaming import (
+        mention_rate_by_type, stream_mentions, stream_pages)
+
+    in_dir = str(tmp_path / "win_in")
+    synthesize_pages(spark, sf_dir).limit(40).write.parquet(in_dir)
+
+    agg = mention_rate_by_type(
+        stream_mentions(stream_pages(spark, in_dir), partitions=4),
+        window="10 minutes", watermark="30 minutes")
+    q = (agg.writeStream.format("memory").queryName("rates")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with availableNow
+    # draining everything the final watermark closes all but the last —
+    # check state machinery ran and produced a well-formed result
+    rows = spark.sql("select * from rates").collect()
+    spark.catalog.dropTempView("rates") if rows is None else None
+    for r in rows:
+        assert r["n_mentions"] >= 1 and r["window_end"] > r["window_start"]
