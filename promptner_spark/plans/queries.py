@@ -31,7 +31,7 @@ from ..operators.components import connected_components
 from ..operators.gazetteer import (
     ALIAS_ROWS, DUCKDB_ALIASES_CTE, ORACLE_GAZETTEER, duckdb_gazetteer_cte,
 )
-from ..operators.infer import run_inference
+from ..operators.infer import extract_mentions, run_inference
 from ..operators.model import GazetteerBackend, RetryingBackend
 from ..operators.parse import explode_mentions, parse_and_align
 from ..operators.verify import verify_types
@@ -93,10 +93,10 @@ def _oracle_mentions(spark: SparkSession, sf_dir: str,
     gaz = gaz if gaz is not None else ORACLE_GAZETTEER
     pages = synthesize_pages(spark, sf_dir)
     sents = pages.select("url", F.lit(0).cast("int").alias("sent_id"), "text")
-    inferred = run_inference(
+    # fused single-UDF stage (== unfused chain, tests/test_pipeline.py)
+    return extract_mentions(
         sents,
         backend_factory=lambda: RetryingBackend(GazetteerBackend(gaz)))
-    return explode_mentions(parse_and_align(inferred))
 
 
 def _sql_mentions_cte(gaz: dict[str, str] | None = None,
