@@ -86,3 +86,28 @@ def dispute_prompt(text: Column, surface: Column, o1: Column, o2: Column) -> Col
         F.lit(" \nEntity Phrase: "), surface,
         F.lit(", Options: ("), o1, F.lit("), ("), o2, F.lit(") \nAnswer:"),
     )
+
+
+CHATBOT_INIT = "You are an entity recognition system. "
+
+
+def chat_message_prefix(spec: PromptSpec) -> list[tuple[str, str]]:
+    """C1+C3 (`algorithms.py:202-219`): the constant part of the chat
+    transcript — system turn (``chatbot_init + defn + format_task``,
+    `algorithms.py:204`) plus each exemplar split at ``"Answer:"``
+    into a (user, assistant) pair (`algorithms.py:206-211`). Returned
+    as ``[(content, role)]`` like the reference's message tuples
+    (`models.py:22-25`); build once at the driver and close over it in
+    the inference UDF — only the final user turn varies per row."""
+    msgs: list[tuple[str, str]] = [
+        (CHATBOT_INIT + spec.defn + "\n" + spec.format_task, "system")]
+    for ex in spec.exemplars:
+        head, _, tail = ex.partition("Answer:")
+        msgs.append((head, "user"))
+        msgs.append(("Answer:" + tail, "assistant"))
+    return msgs
+
+
+def chat_user_turn(paragraph: str) -> tuple[str, str]:
+    """The per-row final user turn (`algorithms.py:212`)."""
+    return ("\nParagraph: " + paragraph + " \nAnswer:", "user")
