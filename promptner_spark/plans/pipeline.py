@@ -67,9 +67,13 @@ def build_pipeline(
             "type", F.col("type_final")).drop("type_verified", "type_final")
     aliases = linking.alias_df(spark)
     linked = linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link)
-    # Persisted for the same reason as mentions: the triple self-join
-    # reads it from both sides, and nodes/counts branch off it.
-    canonical = triples_op.canonicalize(linked).persist()
+    # NOT persisted: since emit_triples became a single groupBy pass,
+    # each output (nodes / triples / counts) reads canonical exactly
+    # once, and recomputing it from the cached mentions is one
+    # broadcast join — cheaper than writing a second 10^7-row cache
+    # (measured ~10% pipeline win). Callers materializing several
+    # outputs repeatedly should use run_pipeline, which checkpoints.
+    canonical = triples_op.canonicalize(linked)
     nodes = triples_op.nodes_table(canonical)
     trips = triples_op.emit_triples(canonical)
     counts = triples_op.triple_counts(trips)
