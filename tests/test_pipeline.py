@@ -94,3 +94,19 @@ def test_manifest_records_partition_metrics(spark, sf_dir, tmp_path):
                   F.min("status").alias("status")).collect()[0]
     assert agg["rows"] == n_mentions
     assert agg["status"] == "ok"
+
+
+def test_extraction_recovers_text_from_html_when_text_null(spark, sf_dir):
+    """input_hint allows pages where only ``html`` is populated; the
+    extractor must recover the byte-identical text from the markup."""
+    from promptner_spark.sources.pages import extract_text, synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir).limit(20)
+    nulled = pages.select(
+        "url", "html", F.col("text").alias("expected")
+    ).withColumn("text", F.lit(None).cast("string"))
+    out = nulled.select(
+        "url", "expected",
+        F.coalesce(F.col("text"), extract_text(F.col("html"))).alias("got"))
+    assert out.where(F.col("got") != F.col("expected")).count() == 0
+    assert out.count() == 20
