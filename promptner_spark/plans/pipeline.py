@@ -102,7 +102,11 @@ def run_pipeline(
     mentions = run_stage(
         spark, checkpoint_root, "mentions",
         lambda: extract_mentions(sentences, partitions=partitions))
-    aliases = linking.alias_df(spark)
+    # aliases materialized alongside nodes/edges (north_star graph
+    # tables: nodes, edges, aliases)
+    aliases = run_stage(
+        spark, checkpoint_root, "aliases",
+        lambda: linking.alias_df(spark))
     linked = run_stage(
         spark, checkpoint_root, "linked",
         lambda: linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link))
