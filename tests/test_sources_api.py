@@ -159,3 +159,27 @@ def test_split_phrases(spark):
                  for r in split_phrases(m).collect())
     assert out == [("filter", 2, 3, 0), ("operator", 3, 4, 1),
                    ("vector", 6, 7, 2)]
+
+
+# ------------------------------------------------------------- E2/E3 harness
+def test_evaluate_gold_on_reference_sample(spark):
+    from promptner_spark.operators.model import GazetteerBackend, RetryingBackend
+    from promptner_spark.plans.evaluate_gold import evaluate_gold_iob2
+
+    # gazetteer primed with two real Genia surfaces so TP > 0
+    gaz = {"il-2": "protein", "nf-kappa b": "protein"}
+    res = evaluate_gold_iob2(
+        spark, "/root/reference/data/Genia/sampletest1.iob2",
+        backend_factory=lambda: RetryingBackend(GazetteerBackend(gaz)))
+    micro = res.micro.collect()[0]
+    n_gold = res.gold_spans.count()
+    assert micro["tp"] + micro["fn"] == n_gold > 0
+    assert micro["tp"] > 0                      # the primed surfaces hit
+    assert 0.0 <= micro["f1"] <= 1.0
+    sf1 = res.sentence_f1
+    assert sf1.where((F.col("f1") < 0) | (F.col("f1") > 1)).count() == 0
+    # perfect-oracle backend == F1 1.0 would need a full gazetteer; the
+    # machinery itself must be exact: a self-evaluation of gold vs gold
+    from promptner_spark.operators.evaluate import span_prf
+    self_eval = span_prf(res.gold_spans, res.gold_spans, by_type=False).collect()[0]
+    assert self_eval["f1"] == 1.0 and self_eval["fp"] == 0 and self_eval["fn"] == 0
