@@ -68,23 +68,27 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8,
+                         table: int = 0) -> Column:
     """Random-hyperplane sign signature as an INT bitmask. Plane
     coefficients are ±1 derived from portable_hash(plane, dim-index) —
-    deterministic, no stored model."""
+    deterministic, no stored model. ``table`` seeds an independent
+    plane family (multi-table LSH)."""
     sig = F.lit(0)
     for p in range(n_planes):
         # coef_j = +1 if hash bit else -1;  sign(sum_j coef_j * v_j)
         # (unary lambdas only — a second defaulted param would receive
         # the element index, not the closure value)
-        def coef(j: Column, _p: int = p) -> Column:
-            return (F.pmod(portable_hash(j.cast("string"), _p), F.lit(2))
+        seed = table * 1000 + p
+
+        def coef(j: Column, _s: int = seed) -> Column:
+            return (F.pmod(portable_hash(j.cast("string"), _s), F.lit(2))
                     .cast("double") * 2 - 1)
         proj = F.aggregate(
             F.zip_with(
                 vec,
                 F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                            (lambda pp: (lambda j: coef(j, pp)))(p)),
+                            (lambda ss: (lambda j: coef(j, ss)))(seed)),
                 lambda v, c: v.cast("double") * c,
             ),
             F.lit(0.0), lambda acc, v: acc + v,
@@ -99,22 +103,41 @@ def lsh_topk(
     dim: int,
     k: int = 3,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's
-    hyperplane bucket, then exact cosine rank within it. Equi-join on
-    the signature — no cross join."""
-    sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("c_vec"), sig.alias("bucket"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"), sig.alias("bucket"))
+    """Approximate top-k: candidates restricted to same-bucket rows,
+    then exact cosine rank. Equi-join on (table, signature) — no cross
+    join. ``n_tables`` independent plane families OR-amplify recall
+    (candidate probability 1-(1-p^planes)^tables): the standard LSH
+    recall/cost dial — per-row hash work and candidate volume scale
+    linearly with tables, and the join key stays fine-grained so no
+    bucket becomes a hub key."""
+    def with_buckets(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        sigs = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     hyperplane_signature(F.col(vec_col), dim, n_planes, t)
+                     .alias("bucket"))
+            for t in range(n_tables)
+        ])
+        return df.select(F.col(idc).alias(out_id),
+                         F.col(vec_col).alias(f"{out_id}_vec"),
+                         F.explode(sigs).alias("tb")) \
+            .select(out_id, f"{out_id}_vec",
+                    F.col("tb.tbl").alias("tbl"),
+                    F.col("tb.bucket").alias("bucket"))
+
+    c = with_buckets(embeddings, id_col, "neighbor_id")
+    q = with_buckets(queries, id_col, "query_id")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        # a pair can collide in several tables — dedup before ranking
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id",
-                cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+                cosine(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+                .alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

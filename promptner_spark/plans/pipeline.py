@@ -50,6 +50,7 @@ def build_pipeline(
     with_verify: bool = False,
     fuzzy_link: bool = True,
     replicate: int = 1,
+    spec=None,
 ) -> PipelineResult:
     """Pure-DAG pipeline (no materialization)."""
     pages = pages_with_extracted_text(spark, sf_dir, replicate=replicate)
@@ -61,7 +62,8 @@ def build_pipeline(
     # boundary the inference UDF would re-run per branch.
     # (run_pipeline gets the same boundary from its checkpoint writes;
     # at 100 TB this IS the materialized mentions table.)
-    mentions = extract_mentions(sentences, partitions=partitions).persist()
+    mentions = extract_mentions(sentences, spec=spec,
+                            partitions=partitions).persist()
     if with_verify:
         mentions = verify_types(mentions, sentences).withColumn(
             "type", F.col("type_final")).drop("type_verified", "type_final")

@@ -565,7 +565,8 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     dim = len(e.select("embedding").first()[0])
     return similarity.lsh_topk(
-        e, e.where(F.col("vec_id") < _KNN_QUERIES), dim=dim, k=_KNN_K)
+        e, e.where(F.col("vec_id") < _KNN_QUERIES), dim=dim, k=_KNN_K,
+        n_planes=4, n_tables=8)
 
 
 def q_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,64 @@
+"""ANN quality: the LSH-bucketed top-k must recall a reasonable share
+of the exact brute-force neighbors (with few hyperplanes the bucket is
+coarse — the recall bound here guards against a broken signature, not
+a tuned index), and exact cosine must be symmetric/self-consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _topk_sets(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from promptner_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.orderBy("vec_id").limit(12)
+
+    exact = _topk_sets(cosine_topk(emb, queries, k=5))
+    a = lsh_topk(emb, queries, dim=dim, k=5, n_planes=4, n_tables=8)
+    approx = _topk_sets(a)
+
+    recalls = []
+    for qid, gold in exact.items():
+        got = approx.get(qid, set())
+        recalls.append(len(got & gold) / len(gold))
+    mean_recall = sum(recalls) / len(recalls)
+    # 8 OR-amplified tables of 4 planes: measured ~0.7 on this data; a
+    # broken signature family collapses toward the random baseline
+    assert mean_recall >= 0.5, f"mean recall {mean_recall:.2f}"
+    # every approx neighbor must carry a valid similarity rank
+    assert a.where((F.col("sim") < -1.0001) | (F.col("sim") > 1.0001)).count() == 0
+    # single-table recall must be strictly amplified by multi-table
+    single = _topk_sets(lsh_topk(emb, queries, dim=dim, k=5, n_planes=4))
+    single_recall = sum(
+        len(single.get(q, set()) & g) / len(g) for q, g in exact.items()
+    ) / len(exact)
+    assert mean_recall >= single_recall
+
+
+def test_exact_topk_rank1_is_nearest(spark, sf_dir):
+    from promptner_spark.operators.similarity import cosine, cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(3)
+    top = cosine_topk(emb, queries, k=1).collect()
+    # verify rank-1 against a direct max computed independently
+    for r in top:
+        qv = emb.where(F.col("vec_id") == r["query_id"]) \
+            .first()["embedding"]
+        best = emb.where(F.col("vec_id") != r["query_id"]).select(
+            "vec_id",
+            cosine(F.lit(qv).cast("array<double>"),
+                   F.col("embedding").cast("array<double>")).alias("s")
+        ).orderBy(F.desc("s"), F.asc("vec_id")).first()
+        assert abs(best["s"] - r["sim"]) < 1e-6
