@@ -110,3 +110,18 @@ def test_extraction_recovers_text_from_html_when_text_null(spark, sf_dir):
         F.coalesce(F.col("text"), extract_text(F.col("html"))).alias("got"))
     assert out.where(F.col("got") != F.col("expected")).count() == 0
     assert out.count() == 20
+
+
+def test_with_verify_pipeline_keeps_rows_and_types(spark, sf_dir):
+    """SP3 in-pipeline: the verification pass must neither drop
+    mentions nor (with the self-consistent deterministic backend)
+    change any type — so the triple set is identical."""
+    from promptner_spark.plans.pipeline import build_pipeline
+
+    plain = build_pipeline(spark, sf_dir, with_verify=False)
+    verified = build_pipeline(spark, sf_dir, with_verify=True)
+    cols = ["subj", "pred", "obj", "url", "sent_id"]
+    a = _rows(plain.triples, cols)
+    b = _rows(verified.triples, cols)
+    plain.mentions.unpersist(), verified.mentions.unpersist()
+    assert a == b and len(a) > 0
