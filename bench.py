@@ -55,24 +55,45 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _pipeline_throughput(spark, sf_dir: str, replicate: int,
+_SCALE_SCRIPT = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from promptner_spark.session import build_session
+from promptner_spark.plans.pipeline import build_pipeline
+spark = build_session(cores={cores}, app_name="bench-scale{cores}")
+warm = build_pipeline(spark, {sf_dir!r})
+warm.triples.write.format("noop").mode("overwrite").save()
+warm.mentions.unpersist()
+best = float("inf")
+for _ in range(3):
+    t0 = time.time()
+    res = build_pipeline(spark, {sf_dir!r}, replicate={replicate})
+    res.triples.write.format("noop").mode("overwrite").save()
+    best = min(best, time.time() - t0)
+    res.mentions.unpersist()
+print("BENCH_SECONDS", best)
+spark.stop()
+"""
+
+
+def _pipeline_throughput(cores: int, sf_dir: str, replicate: int,
                          n_docs_base: int) -> tuple[float, float]:
-    from promptner_spark.plans.pipeline import build_pipeline
+    """Each level runs in its OWN python subprocess: PySpark reuses one
+    JVM per process, so measuring both levels in-process would hand the
+    second session a pre-aged heap (and the first session's
+    driver-memory). Fresh process = fresh JVM = fair comparison.
+    Within the process: one replicate=1 warm-up (JIT/codegen), then
+    best-of-3 timed runs (shared host shows up to 2x noise)."""
+    import subprocess
 
-    # warm-up at replicate=1: JIT/codegen caches, Python worker pool
-    warm = build_pipeline(spark, sf_dir)
-    _materialize(warm.triples)
-    warm.mentions.unpersist()
-
-    # best of 2: the sandbox shows ±2x run-to-run variance (shared
-    # host); min is the standard way to estimate the noise floor
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        res = build_pipeline(spark, sf_dir, replicate=replicate)
-        _materialize(res.triples)
-        best = min(best, time.time() - t0)
-        res.mentions.unpersist()
+    script = _SCALE_SCRIPT.format(
+        repo=os.path.dirname(os.path.abspath(__file__)),
+        cores=cores, sf_dir=sf_dir, replicate=replicate)
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("BENCH_SECONDS")][-1]
+    best = float(line.split()[1])
     return best, n_docs_base * replicate / best
 
 
@@ -82,19 +103,24 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else 0.1
 
-    spark = build_session(cores=SCALING_CORES,
-                          app_name=f"bench-local{SCALING_CORES}")
-    n_docs_base = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    t_lo, thr_lo = _pipeline_throughput(spark, SF_DIR, REPLICATE, n_docs_base)
-    spark.stop()
+    import duckdb
+    n_docs_base = duckdb.sql(
+        f"select count(*) from '{SF_DIR}/documents.parquet'").fetchone()[0]
+    t_lo, thr_lo = _pipeline_throughput(SCALING_CORES, SF_DIR, REPLICATE,
+                                        n_docs_base)
+    t_hi, thr_hi = _pipeline_throughput(CPUS, SF_DIR, REPLICATE, n_docs_base)
+    efficiency = (thr_hi / thr_lo) / (CPUS / SCALING_CORES)
 
     spark = build_session(cores=CPUS, app_name="bench")
     try:
-        t_hi, thr_hi = _pipeline_throughput(spark, SF_DIR, REPLICATE,
-                                            n_docs_base)
-        efficiency = (thr_hi / thr_lo) / (CPUS / SCALING_CORES)
-
+        from promptner_spark.plans.pipeline import build_pipeline
         from promptner_spark.plans.queries import QUERIES
+
+        # untimed warm-up: JVM/codegen/Python-worker start, so per-query
+        # numbers measure the queries, not session cold-start
+        warm = build_pipeline(spark, SF_DIR)
+        _materialize(warm.triples)
+        warm.mentions.unpersist()
         queries: dict[str, float] = {}
         total = 0.0
         for name in HEADLINE:

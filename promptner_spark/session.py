@@ -51,7 +51,13 @@ def build_session(
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        # Single-JVM local mode: the driver heap IS the executor heap.
+        # At 32 concurrent tasks the allocation rate is 4x the 8-core
+        # rate and an 8g heap GC-thrashes (measured: +60% wall at
+        # local[32], none at local[8]); 24g removes that drag on this
+        # 128 GiB box. On a real cluster this maps to executor memory
+        # sized to partition volume, not a driver setting.
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g"),
     }
     if extra_conf:
         conf.update(extra_conf)
