@@ -76,6 +76,50 @@ spark.stop()
 """
 
 
+_CALIB_SCRIPT = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from promptner_spark.session import build_session
+from pyspark.sql import functions as F
+spark = build_session(cores={cores}, app_name="calib{cores}")
+df = spark.range(0, 30_000_000, 1, {cores}*2)
+df.limit(1000).count()
+best = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    # compute-dominated probe: chained md5 per row, 1k-group shuffle
+    (df.select((F.col("id") % 1000).alias("k"),
+               F.md5(F.md5(F.md5(F.md5(F.col("id").cast("string")))))
+               .alias("v"))
+       .groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("m"))
+       .write.format("noop").mode("overwrite").save())
+    best = min(best, time.time() - t0)
+print("BENCH_SECONDS", best)
+spark.stop()
+"""
+
+
+def _subprocess_seconds(script: str) -> float:
+    import subprocess
+
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("BENCH_SECONDS")][-1]
+    return float(line.split()[1])
+
+
+def _hw_calibration(lo: int, hi: int) -> float:
+    """Host scaling ceiling: the same PURE-JVM Spark job (hash+shuffle+
+    agg, zero Python) at both parallelism levels. Whatever efficiency
+    THIS shows is the best any Spark workload can do on this box; the
+    pipeline's efficiency should be read relative to it."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    t_lo = _subprocess_seconds(_CALIB_SCRIPT.format(repo=repo, cores=lo))
+    t_hi = _subprocess_seconds(_CALIB_SCRIPT.format(repo=repo, cores=hi))
+    return (t_lo / t_hi) / (hi / lo)
+
+
 def _pipeline_throughput(cores: int, sf_dir: str, replicate: int,
                          n_docs_base: int) -> tuple[float, float]:
     """Each level runs in its OWN python subprocess: PySpark reuses one
@@ -84,16 +128,10 @@ def _pipeline_throughput(cores: int, sf_dir: str, replicate: int,
     driver-memory). Fresh process = fresh JVM = fair comparison.
     Within the process: one replicate=1 warm-up (JIT/codegen), then
     best-of-3 timed runs (shared host shows up to 2x noise)."""
-    import subprocess
-
     script = _SCALE_SCRIPT.format(
         repo=os.path.dirname(os.path.abspath(__file__)),
         cores=cores, sf_dir=sf_dir, replicate=replicate)
-    out = subprocess.run([sys.executable, "-c", script],
-                         capture_output=True, text=True, check=True)
-    line = [ln for ln in out.stdout.splitlines()
-            if ln.startswith("BENCH_SECONDS")][-1]
-    best = float(line.split()[1])
+    best = _subprocess_seconds(script)
     return best, n_docs_base * replicate / best
 
 
@@ -110,6 +148,7 @@ def main() -> None:
                                         n_docs_base)
     t_hi, thr_hi = _pipeline_throughput(CPUS, SF_DIR, REPLICATE, n_docs_base)
     efficiency = (thr_hi / thr_lo) / (CPUS / SCALING_CORES)
+    hw_ceiling = _hw_calibration(SCALING_CORES, CPUS)
 
     spark = build_session(cores=CPUS, app_name="bench")
     try:
@@ -148,9 +187,12 @@ def main() -> None:
             f"docs_per_sec_local{SCALING_CORES}": round(thr_lo, 1),
             f"docs_per_sec_local{CPUS}": round(thr_hi, 1),
             "scaling_efficiency": round(efficiency, 3),
-            "note": ("local[32] oversubscribes the 32-core box (JVM task "
-                     "threads + Python workers); efficiency is a lower "
-                     "bound vs dedicated 4x executors"),
+            "hw_ceiling_efficiency": round(hw_ceiling, 3),
+            "note": ("hw_ceiling_efficiency is the SAME 8->32 measurement "
+                     "for a pure-JVM Spark hash+shuffle+agg with zero "
+                     "Python on this host - the box's Spark scaling "
+                     "ceiling; read scaling_efficiency relative to it. "
+                     "On dedicated N->4N executors neither cap applies."),
         },
     }))
 
