@@ -758,8 +758,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hot_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 groupBy-side skew handling: salted two-phase mention counts
+    per surface + composite-key exact distinct — value-identical to
+    the plain GROUP BY the oracle runs."""
+    from ..operators.skew import hot_surface_counts
+    m = _oracle_mentions(spark, sf_dir)
+    return hot_surface_counts(m, n_salts=8)
+
+
+def _sql_hot_surfaces() -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()}, {_sql_mentions_cte()}
+SELECT surface AS surface_norm, count(*) AS n_mentions,
+       count(DISTINCT url) AS n_docs
+FROM mentions GROUP BY surface"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES = {
+    "q_hot_surfaces": q_hot_surfaces,
     "q_media_meta": q_media_meta,
     "q_media_frames": q_media_frames,
     "q_media_features": q_media_features,
@@ -789,6 +807,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_hot_surfaces": _sql_hot_surfaces(),
     "q_media_meta": _sql_media_meta(),
     "q_media_frames": _sql_media_frames(),
     "q_extract_text": _sql_extract_text(),
