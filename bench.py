@@ -7,7 +7,7 @@ in this sandbox, per driver instruction): the flagship KG pipeline
 (pages → fused mention extraction → vocabulary-level linking →
 canonicalization → triples) runs on the SAME deterministic input at
 local[8] and local[32]. The input is the sf documents corpus
-replicated ×$SPARK_GRAFT_BENCH_REPLICATE (default 256, deterministic
+replicated ×$SPARK_GRAFT_BENCH_REPLICATE (default 192, deterministic
 doc_id/url remapping — see sources/pages.py) so the measurement is
 compute-dominated, not fixed-overhead-dominated. Each level gets one
 unreplicated warm-up run (codegen/JIT caches) before timing.
@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "8"))
-REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "256"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "192"))
 
 # Headline operator queries (SURVEY.md §2 families) timed at local[CPUS].
 HEADLINE = [
@@ -65,7 +65,7 @@ warm = build_pipeline(spark, {sf_dir!r})
 warm.triples.write.format("noop").mode("overwrite").save()
 warm.mentions.unpersist()
 best = float("inf")
-for _ in range(3):
+for _ in range(2):
     t0 = time.time()
     res = build_pipeline(spark, {sf_dir!r}, replicate={replicate})
     res.triples.write.format("noop").mode("overwrite").save()
@@ -127,7 +127,7 @@ def _pipeline_throughput(cores: int, sf_dir: str, replicate: int,
     second session a pre-aged heap (and the first session's
     driver-memory). Fresh process = fresh JVM = fair comparison.
     Within the process: one replicate=1 warm-up (JIT/codegen), then
-    best-of-3 timed runs (shared host shows up to 2x noise)."""
+    best-of-2 timed runs (shared host shows up to 2x noise)."""
     script = _SCALE_SCRIPT.format(
         repo=os.path.dirname(os.path.abspath(__file__)),
         cores=cores, sf_dir=sf_dir, replicate=replicate)
