@@ -6,10 +6,12 @@
   aggregated triple table.
 - ``queries()``: one entry per implemented operator family from
   SURVEY.md §2 (see promptner_spark/plans/queries.py for the paired
-  DuckDB closed forms and the cross-engine determinism rules).
+  DuckDB closed forms and the cross-engine determinism rules;
+  COVERAGE.md maps every inventory row to query + test).
 - ``oracle_sql()``: DuckDB-runnable ANSI SQL per query; keys absent
-  here (q_knn_lsh, q_pipeline_triples) are approximate / beyond SQL
-  closed form and get the driver's rows-only check.
+  here (q_knn_lsh, q_pipeline_triples, q_media_features) are
+  approximate / beyond SQL closed form and get the driver's rows-only
+  check.
 """
 
 from __future__ import annotations

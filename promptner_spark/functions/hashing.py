@@ -36,6 +36,23 @@ def duckdb_portable_hash(expr: str, seed: int = 0) -> str:
             f"{HASH_HEX_DIGITS})) AS BIGINT)")
 
 
+def portable_hash_half(col: Column, seed: int, half: int) -> Column:
+    """Two independent 60-bit hashes per md5 digest (hex chars 1-15 and
+    16-30): halves the md5 bill of multi-permutation schemes. Identical
+    digests within one projection are shared by whole-stage codegen's
+    common-subexpression elimination, so ``half`` costs nothing extra."""
+    seeded = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(
+        F.substring(F.md5(seeded), 1 + half * HASH_HEX_DIGITS,
+                    HASH_HEX_DIGITS), 16, 10).cast("long")
+
+
+def duckdb_portable_hash_half(expr: str, seed: int, half: int) -> str:
+    """DuckDB mirror of :func:`portable_hash_half`."""
+    return (f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), "
+            f"{1 + half * HASH_HEX_DIGITS}, {HASH_HEX_DIGITS})) AS BIGINT)")
+
+
 # ------------------------------------------------------------- shingles
 
 def token_shingles(text: Column, k: int = 3) -> Column:

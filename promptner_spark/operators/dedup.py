@@ -65,13 +65,16 @@ def minhash_signatures(
     Output: (id, h0..h{n-1}). This beats the expression form
     (array_min × n over a transform) which re-evaluates the shingle
     array per permutation — measured ~20× slower at corpus scale."""
-    from ..functions.hashing import portable_hash as ph
+    from ..functions.hashing import portable_hash_half as phh
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(token_shingles(F.col(text_col), shingle_k)).alias("s"),
     )
+    # two permutations per md5 digest (hex halves) — half the digest
+    # bill; codegen CSE shares each md5 between its two halves
     hashed = sh.select(
-        "id", *[ph(F.col("s"), i).alias(f"h{i}") for i in range(n_hashes)])
+        "id", *[phh(F.col("s"), i // 2, i % 2).alias(f"h{i}")
+                for i in range(n_hashes)])
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
 

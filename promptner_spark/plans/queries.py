@@ -410,9 +410,10 @@ def _sql_shingles(t: str = "text", k: int = _SHINGLE_K) -> str:
 
 
 def _sql_minhash_sig(shingles_expr: str, n_hashes: int = _MINHASH_N) -> list[str]:
+    from ..functions.hashing import duckdb_portable_hash_half
     return [
         "list_min(list_transform(" + shingles_expr + ", s -> "
-        + duckdb_portable_hash("s", seed=i) + "))"
+        + duckdb_portable_hash_half("s", seed=i // 2, half=i % 2) + "))"
         for i in range(n_hashes)
     ]
 
