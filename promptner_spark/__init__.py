@@ -24,3 +24,28 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Lazy convenience exports — resolved on first access so that UDF
+# workers importing submodules never pay for the full dependency tree.
+_EXPORTS = {
+    "build_session": ("promptner_spark.session", "build_session"),
+    "build_pipeline": ("promptner_spark.plans.pipeline", "build_pipeline"),
+    "run_pipeline": ("promptner_spark.plans.pipeline", "run_pipeline"),
+    "get_ner_system": ("promptner_spark.custom", "get_ner_system"),
+    "get_tagging_system": ("promptner_spark.custom", "get_tagging_system"),
+    "evaluate_gold": ("promptner_spark.plans.evaluate_gold", "evaluate_gold"),
+    "evaluate_gold_iob2": ("promptner_spark.plans.evaluate_gold",
+                           "evaluate_gold_iob2"),
+}
+
+
+def __getattr__(name: str):
+    if name in _EXPORTS:
+        import importlib
+        module, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'promptner_spark' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))
