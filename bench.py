@@ -63,14 +63,14 @@ from promptner_spark.plans.pipeline import build_pipeline
 spark = build_session(cores={cores}, app_name="bench-scale{cores}")
 warm = build_pipeline(spark, {sf_dir!r})
 warm.triples.write.format("noop").mode("overwrite").save()
-warm.mentions.unpersist()
+warm.unpersist()
 best = float("inf")
 for _ in range(2):
     t0 = time.time()
     res = build_pipeline(spark, {sf_dir!r}, replicate={replicate})
     res.triples.write.format("noop").mode("overwrite").save()
     best = min(best, time.time() - t0)
-    res.mentions.unpersist()
+    res.unpersist()
 print("BENCH_SECONDS", best)
 spark.stop()
 """
@@ -159,7 +159,7 @@ def main() -> None:
         # numbers measure the queries, not session cold-start
         warm = build_pipeline(spark, SF_DIR)
         _materialize(warm.triples)
-        warm.mentions.unpersist()
+        warm.unpersist()
         queries: dict[str, float] = {}
         total = 0.0
         for name in HEADLINE:

@@ -38,8 +38,16 @@ def get_ner_system(
 
     def get_entities(sentence: str):
         raw = backend.generate([prefix + sentence + suffix])[0]
-        surfaces, typestrings = parse_exemplar_answers(
-            raw, true_only=True, identify_types=identify_types)
+        if identify_types:
+            surfaces, typestrings = parse_exemplar_answers(
+                raw, true_only=True, identify_types=True)
+        else:
+            # identify_types=False returns a bare surfaces list
+            # (`utils.py:151-153`); pad typestrings so the shared
+            # clean/split path below stays uniform.
+            surfaces = parse_exemplar_answers(
+                raw, true_only=True, identify_types=False)
+            typestrings = [""] * len(surfaces)
         if split_phrases:
             exploded, exploded_t = [], []
             for s, t in zip(surfaces, typestrings or [""] * len(surfaces)):

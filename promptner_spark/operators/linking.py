@@ -117,6 +117,15 @@ def link_fuzzy_candidates(
     )
 
 
+def release_caches(df: DataFrame) -> None:
+    """Unpersist every cache a linking builder attached to ``df``
+    (see :func:`build_resolution`). Call when the result has been
+    fully consumed — repeated builder invocations in one session
+    (bench loops, notebooks) otherwise accumulate cached relations."""
+    for cached in getattr(df, "_promptner_caches", ()):
+        cached.unpersist()
+
+
 def build_resolution(mentions: DataFrame, aliases: DataFrame,
                      fuzzy: bool = True) -> DataFrame:
     """Surface-vocabulary resolution dictionary: one row per distinct
@@ -124,6 +133,10 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
     first, MinHash-LSH fuzzy fallback) or NULLs for NIL surfaces.
 
     Columns: (m_norm, entity_id, canonical_name, alias_norm, prior).
+
+    The persisted vocabulary handle is attached to the returned
+    DataFrame (``_promptner_caches``); callers release it with
+    :func:`release_caches` once the resolution has been materialized.
     """
     # Persisted: (a) the vocabulary is read by the exact, fuzzy and NIL
     # branches — one distinct pass over the mention stream instead of
@@ -137,6 +150,7 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
     exact = vocab.join(F.broadcast(aliases),
                        vocab["m_norm"] == aliases["alias_norm"], "left")
     if not fuzzy:
+        exact._promptner_caches = (vocab,)  # type: ignore[attr-defined]
         return exact
     hit = exact.where(F.col("entity_id").isNotNull())
     miss = exact.where(F.col("entity_id").isNull()).select("m_norm")
@@ -151,12 +165,16 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
         F.lit(None).cast("string").alias("alias_norm"),
         F.lit(None).cast("double").alias("prior"),
     )
-    return hit.select("m_norm", "entity_id", "canonical_name",
-                      "alias_norm", "prior").unionByName(fz).unionByName(nil)
+    out = hit.select("m_norm", "entity_id", "canonical_name",
+                     "alias_norm", "prior").unionByName(fz).unionByName(nil)
+    out._promptner_caches = (vocab,)  # type: ignore[attr-defined]
+    return out
 
 
 def link_mentions(mentions: DataFrame, aliases: DataFrame,
-                  fuzzy: bool = True) -> DataFrame:
+                  fuzzy: bool = True,
+                  max_broadcast_vocab: int | None = None,
+                  salt: int = 16) -> DataFrame:
     """Full linking: exact broadcast join with LSH fuzzy fallback.
     Output adds entity_id / canonical_name (nullable — NIL mentions
     stay unlinked for canonicalization by co-reference).
@@ -167,11 +185,35 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame,
     the mention stream (Zipf) — producing a resolution dictionary that
     is broadcast back. The mention stream itself is scanned exactly
     once and never shuffled; hub surfaces ("united states") cannot skew
-    anything because the join is broadcast-hash, not key-partitioned."""
+    anything because the join is broadcast-hash, not key-partitioned.
+
+    ``max_broadcast_vocab`` is the broadcast size guard: when set and
+    the resolution dictionary exceeds that many rows, the forced
+    broadcast (a driver/executor OOM at that point) degrades to the
+    salted shuffle join (dictionary exploded ×``salt``, mention side
+    salted on row identity) so a pathological vocabulary still links —
+    key histogram flattened exactly like :func:`link_exact_salted`.
+    ``None`` skips the (vocab-sized) count and always broadcasts."""
     resolution = build_resolution(mentions, aliases, fuzzy=fuzzy)
-    return mentions.withColumn(
-        "m_norm_key", norm_surface(F.col("surface"))
-    ).join(
-        F.broadcast(resolution),
-        F.col("m_norm_key") == resolution["m_norm"], "left",
-    ).drop("m_norm_key", "m_norm")
+    keyed = mentions.withColumn("m_norm_key", norm_surface(F.col("surface")))
+    if max_broadcast_vocab is not None and \
+            resolution.count() > max_broadcast_vocab:
+        salted_m = keyed.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("url", "sent_id", "begin"),
+                   F.lit(salt)).cast("int"))
+        salted_r = resolution.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        out = salted_m.join(
+            salted_r,
+            (F.col("m_norm_key") == salted_r["m_norm"])
+            & (salted_m["_salt"] == salted_r["_salt"]), "left",
+        ).drop("m_norm_key", "m_norm", "_salt")
+    else:
+        out = keyed.join(
+            F.broadcast(resolution),
+            F.col("m_norm_key") == resolution["m_norm"], "left",
+        ).drop("m_norm_key", "m_norm")
+    out._promptner_caches = getattr(  # type: ignore[attr-defined]
+        resolution, "_promptner_caches", ())
+    return out

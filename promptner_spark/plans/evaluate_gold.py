@@ -54,16 +54,27 @@ def _gold_spans(gold: DataFrame) -> DataFrame:
              F.col("m.type").alias("type"))
 
 
-def sentence_f1(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
+def sentence_f1(pred_spans: DataFrame, gold_spans: DataFrame,
+                sentences: DataFrame | None = None) -> DataFrame:
     """Per-sentence span F1 (the reference's seqeval-per-row f1 column,
-    `run.py:36-37`) as three aggregations + one join."""
+    `run.py:36-37`) as three aggregations + one join.
+
+    ``sentences`` is the (doc_id, sent_id) universe: the reference
+    keeps EVERY evaluated sentence in its per-row table (`run.py:36`),
+    so a sentence with zero gold AND zero predicted spans must still
+    appear (tp = n_pred = n_gold = 0, f1 = 1.0) — otherwise macro
+    averages skew. Without it, only sentences seen in at least one
+    span table are emitted (pre-round-2 behavior)."""
     key = ["doc_id", "sent_id"]
     p = pred_spans.groupBy(*key).agg(F.count(F.lit(1)).alias("n_pred"))
     g = gold_spans.groupBy(*key).agg(F.count(F.lit(1)).alias("n_gold"))
     tp = pred_spans.join(gold_spans, SPAN_KEY, "left_semi") \
         .groupBy(*key).agg(F.count(F.lit(1)).alias("tp"))
-    out = g.join(p, key, "full").join(tp, key, "full").na.fill(
-        0, ["tp", "n_pred", "n_gold"])
+    out = g.join(p, key, "full").join(tp, key, "full")
+    if sentences is not None:
+        universe = sentences.select(*key).distinct()
+        out = universe.join(out, key, "left")
+    out = out.na.fill(0, ["tp", "n_pred", "n_gold"])
     denom = F.col("n_pred") + F.col("n_gold")
     return out.withColumn(
         "f1",
@@ -91,7 +102,8 @@ def evaluate_gold(
     gold_sp = _gold_spans(gold)
     per_type = span_prf(pred, gold_sp, by_type=True)
     micro = span_prf(pred, gold_sp, by_type=False)
-    return GoldEvalResult(pred, gold_sp, sentence_f1(pred, gold_sp),
+    return GoldEvalResult(pred, gold_sp,
+                          sentence_f1(pred, gold_sp, sentences=gold),
                           per_type, micro)
 
 

@@ -41,6 +41,15 @@ class PipelineResult:
     nodes: DataFrame
     triples: DataFrame
     triple_counts: DataFrame
+    cached: tuple = ()   # every DataFrame this build persisted
+
+    def unpersist(self) -> None:
+        """Release every cache the build created (the persisted mention
+        table — kept even when ``with_verify`` re-derives ``mentions``
+        from it — and the linking vocabulary). Loop callers (bench,
+        notebooks) must call this or cached relations accumulate."""
+        for df in self.cached:
+            df.unpersist()
 
 
 def build_pipeline(
@@ -62,13 +71,16 @@ def build_pipeline(
     # boundary the inference UDF would re-run per branch.
     # (run_pipeline gets the same boundary from its checkpoint writes;
     # at 100 TB this IS the materialized mentions table.)
-    mentions = extract_mentions(sentences, spec=spec,
-                            partitions=partitions).persist()
+    base_mentions = extract_mentions(sentences, spec=spec,
+                                     partitions=partitions).persist()
+    mentions = base_mentions
     if with_verify:
-        mentions = verify_types(mentions, sentences).withColumn(
+        mentions = verify_types(base_mentions, sentences).withColumn(
             "type", F.col("type_final")).drop("type_verified", "type_final")
     aliases = linking.alias_df(spark)
     linked = linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link)
+    cached = (base_mentions,
+              *getattr(linked, "_promptner_caches", ()))
     # NOT persisted: since emit_triples became a single groupBy pass,
     # each output (nodes / triples / counts) reads canonical exactly
     # once, and recomputing it from the cached mentions is one
@@ -80,7 +92,7 @@ def build_pipeline(
     trips = triples_op.emit_triples(canonical)
     counts = triples_op.triple_counts(trips)
     return PipelineResult(pages, sentences, mentions, linked, nodes,
-                          trips, counts)
+                          trips, counts, cached=cached)
 
 
 def run_pipeline(

@@ -51,7 +51,7 @@ def test_triples_partition_invariant(spark, sf_dir):
     b = build_pipeline(spark, sf_dir, partitions=16)
     cols = ["subj", "pred", "obj", "url", "sent_id"]
     ra, rb = _rows(a.triples, cols), _rows(b.triples, cols)
-    a.mentions.unpersist(), b.mentions.unpersist()
+    a.unpersist(), b.unpersist()
     assert ra == rb
     assert len(ra) > 0
 
@@ -123,5 +123,28 @@ def test_with_verify_pipeline_keeps_rows_and_types(spark, sf_dir):
     cols = ["subj", "pred", "obj", "url", "sent_id"]
     a = _rows(plain.triples, cols)
     b = _rows(verified.triples, cols)
-    plain.mentions.unpersist(), verified.mentions.unpersist()
+    plain.unpersist(), verified.unpersist()
     assert a == b and len(a) > 0
+
+
+def test_link_mentions_salted_fallback_equals_broadcast(spark, sf_dir):
+    """Broadcast size guard: with max_broadcast_vocab exceeded, the
+    resolution join degrades to the salted shuffle join and produces
+    identical links (strategy-independence, like q_link_salted)."""
+    from promptner_spark.operators import linking
+    from promptner_spark.operators.infer import extract_mentions
+    from promptner_spark.sources.pages import pages_with_extracted_text
+    from promptner_spark.sources.sentences import split_sentences
+
+    sentences = split_sentences(pages_with_extracted_text(spark, sf_dir))
+    mentions = extract_mentions(sentences).persist()
+    aliases = linking.alias_df(spark)
+    cols = ["url", "sent_id", "mention_id", "surface", "entity_id",
+            "canonical_name"]
+    bcast = linking.link_mentions(mentions, aliases)
+    salted = linking.link_mentions(mentions, aliases,
+                                   max_broadcast_vocab=0, salt=4)
+    rb, rs = _rows(bcast, cols), _rows(salted, cols)
+    mentions.unpersist()
+    linking.release_caches(bcast), linking.release_caches(salted)
+    assert rb == rs and len(rb) > 0

@@ -42,7 +42,7 @@ def test_pipeline_mention_stream_never_sort_merge_joined(spark, sf_dir):
 
     res = build_pipeline(spark, sf_dir)
     plan = _plan(res.linked, mode="simple")
-    res.mentions.unpersist()
+    res.unpersist()
     # the mention STREAM joins the resolution dict via broadcast-hash —
     # it must never be shuffled on its (Zipf-skewed) surface key.
     # SortMergeJoins inside the vocabulary-level subplans (band join,

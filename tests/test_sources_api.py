@@ -88,6 +88,22 @@ def test_get_ner_system_split_phrases():
     assert "hash" in ents and "join" in ents
 
 
+def test_get_ner_system_no_types():
+    """identify_types=False returns (entities, raw) — the documented
+    reference-parity flag (`custom.py:85-94`, `algorithms.py:181-184`);
+    regression for the two-value unpack crash (ADVICE round 1)."""
+    from promptner_spark.custom import get_ner_system
+
+    sentence = "the stream joins a vector to the filter operator"
+    ents, raw = get_ner_system(identify_types=False)(sentence)
+    assert "stream" in ents and "vector" in ents
+    assert isinstance(raw, str) and raw
+    # and with split_phrases stacked on top it still returns 2 values
+    ents2, _ = get_ner_system(identify_types=False, split_phrases=True)(
+        "a hash join reads rows")
+    assert "hash" in ents2 and "join" in ents2
+
+
 # --------------------------------------------------------------- C4-C6
 def test_autogenerate_exemplars_deterministic():
     from promptner_spark.operators.annotate import autogenerate_exemplars
@@ -183,3 +199,23 @@ def test_evaluate_gold_on_reference_sample(spark):
     from promptner_spark.operators.evaluate import span_prf
     self_eval = span_prf(res.gold_spans, res.gold_spans, by_type=False).collect()[0]
     assert self_eval["f1"] == 1.0 and self_eval["fp"] == 0 and self_eval["fn"] == 0
+
+
+def test_sentence_f1_keeps_empty_sentences(spark):
+    """A sentence with zero gold AND zero predicted spans still gets a
+    row with f1 = 1.0 (the reference keeps every sentence, `run.py:36`)."""
+    from promptner_spark.plans.evaluate_gold import sentence_f1
+
+    spans = "doc_id string, sent_id int, begin int, end int, type string"
+    pred = spark.createDataFrame([("d", 0, 0, 1, "X")], spans)
+    gold = spark.createDataFrame([("d", 0, 0, 1, "X")], spans)
+    sents = spark.createDataFrame(
+        [("d", 0), ("d", 1), ("e", 0)], "doc_id string, sent_id int")
+    rows = {(r["doc_id"], r["sent_id"]): r
+            for r in sentence_f1(pred, gold, sentences=sents).collect()}
+    assert len(rows) == 3
+    assert rows[("d", 0)]["f1"] == 1.0 and rows[("d", 0)]["tp"] == 1
+    # empty sentences present, zero counts, f1 = 1.0 (vacuous perfection)
+    for key in [("d", 1), ("e", 0)]:
+        r = rows[key]
+        assert (r["tp"], r["n_pred"], r["n_gold"], r["f1"]) == (0, 0, 0, 1.0)

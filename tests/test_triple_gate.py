@@ -82,7 +82,7 @@ def test_triple_pr_gate(spark, sf_dir):
     res = build_pipeline(spark, sf_dir)
     got = {(r["subj"], r["pred"], r["obj"], r["url"], r["sent_id"])
            for r in res.triples.collect()}
-    res.mentions.unpersist()
+    res.unpersist()
     gold = _gold_triples(sf_dir)
     assert gold, "gold emission is empty — slice too small"
 
