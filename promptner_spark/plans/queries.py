@@ -476,17 +476,60 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_table(_docs(spark, sf_dir), bits=32, shingle_k=2)
 
 
-def _sql_simhash() -> str:
+def _sql_simhash_ctes(src: str) -> str:
+    """CTE chain computing the 32-bit simhash digest per doc of ``src``
+    — the literal DuckDB replay of dedup.simhash_table."""
     sh = _sql_shingles("text", 2)
     h = duckdb_portable_hash("s", seed=0)
     bits = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1))"
         f" >= len(hs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(32))
+    return f"""hsh AS (
+  SELECT doc_id, list_transform({sh}, s -> {h}) AS hs FROM {src}),
+sims AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hsh)"""
+
+
+def _sql_simhash() -> str:
     return f"""
-WITH hsh AS (
-  SELECT doc_id, list_transform({sh}, s -> {h}) AS hs FROM documents)
-SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hsh"""
+WITH {_sql_simhash_ctes('documents')}
+SELECT doc_id, simhash FROM sims"""
+
+
+_SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-complete simhash near-dup pairs (max_hamming+1
+    disjoint bit-bands) over the near-copy-augmented corpus; the
+    DuckDB oracle replays digest, banding and Hamming verify exactly."""
+    pairs = dedup.simhash_near_pairs(
+        _augmented_near(spark, sf_dir),
+        max_hamming=_SIMHASH_MAX_HAMMING, bits=32, shingle_k=2)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"))
+
+
+def _sql_simhash_pairs() -> str:
+    from ..operators.dedup import simhash_block_specs
+    band_rows = ", ".join(
+        f"({i}, {shift}, {(1 << width) - 1})"
+        for i, (shift, width) in enumerate(
+            simhash_block_specs(32, _SIMHASH_MAX_HAMMING)))
+    return f"""
+WITH {_SQL_AUG_NEAR},
+{_sql_simhash_ctes('aug')},
+bands AS (
+  SELECT doc_id, simhash, band_id, (simhash >> shift) & mask AS band_val
+  FROM sims, LATERAL (VALUES {band_rows}) AS b(band_id, shift, mask))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}"""
 
 
 # --------------------------------------------------- G2 connected components
@@ -804,6 +847,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash": q_simhash,
+    "q_simhash_pairs": q_simhash_pairs,
     "q_components": q_components,
     "q_knn": q_knn,
     "q_knn_lsh": q_knn_lsh,
@@ -833,6 +877,7 @@ ORACLE_SQL = {
     "q_dedup_exact": _sql_dedup_exact(),
     "q_minhash_pairs": _sql_minhash_pairs(),
     "q_simhash": _sql_simhash(),
+    "q_simhash_pairs": _sql_simhash_pairs(),
     "q_components": _sql_components(),
     "q_knn": _sql_knn(),
     "q_embdup": _sql_embdup(),
