@@ -69,6 +69,22 @@ def completion_prompt(spec: PromptSpec, text: Column) -> Column:
     return F.concat(F.lit(spec.prefix()), text, F.lit(PromptSpec.SUFFIX))
 
 
+def type_verify_prompt_str(text: str, surface: str) -> str:
+    """C7 as a plain string — the form used inside the fused
+    verify+dispute ``mapInPandas`` stage (the template travels once in
+    the task closure, not per-row through Arrow)."""
+    return (f"{TYPE_Q}\nParagraph: {text} \nEntity Phrase: {surface}"
+            " \nAnswer:")
+
+
+def dispute_prompt_str(text: str, surface: str, o1: str, o2: str) -> str:
+    """C8 as a plain string (`algorithms.py:387-395,468-476`); option
+    order is (first opinion, verifier opinion), matching
+    ``resolve_dispute(answer, types, other_types)``."""
+    return (f"{DISPUTE_Q}\nParagraph: {text} \nEntity Phrase: {surface},"
+            f" Options: ({o1}), ({o2}) \nAnswer:")
+
+
 def type_verify_prompt(text: Column, surface: Column) -> Column:
     """C7: second-pass type-verification prompt over the mention table
     (`algorithms.py:371-379,458-466`)."""

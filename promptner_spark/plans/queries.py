@@ -95,7 +95,8 @@ FROM pages GROUP BY lang"""
 
 # ----------------------------------------------------- M4+A2+SP1 end-to-end
 def _oracle_mentions(spark: SparkSession, sf_dir: str,
-                     gaz: dict[str, str] | None = None) -> DataFrame:
+                     gaz: dict[str, str] | None = None,
+                     carry: tuple[str, ...] = ()) -> DataFrame:
     """The full infer→parse→align→explode chain under the single-word
     gazetteer — the config whose end-to-end semantics have a SQL
     closed form (first occurrence of each present gazetteer word)."""
@@ -104,7 +105,7 @@ def _oracle_mentions(spark: SparkSession, sf_dir: str,
     sents = pages.select("url", F.lit(0).cast("int").alias("sent_id"), "text")
     # fused single-UDF stage (== unfused chain, tests/test_pipeline.py)
     return extract_mentions(
-        sents,
+        sents, carry=carry,
         backend_factory=lambda: RetryingBackend(GazetteerBackend(gaz)))
 
 
@@ -737,13 +738,33 @@ def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_verified_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SP3 type-verification pass: the deterministic backend re-derives
-    each mention's type, so type_final == type — checked against the
+    """SP3 type-verification pass, fused no-join path (text carried on
+    the mention rows): the deterministic backend re-derives each
+    mention's type, so type_final == type — checked against the
     mention oracle SQL (same closed form, type column renamed)."""
-    pages = synthesize_pages(spark, sf_dir)
-    sents = pages.select("url", F.lit(0).cast("int").alias("sent_id"), "text")
-    m = _oracle_mentions(spark, sf_dir)
-    v = verify_types(m, sents,
+    m = _oracle_mentions(spark, sf_dir, carry=("text",))
+    v = verify_types(m,
+                     backend_factory=lambda: RetryingBackend(
+                         GazetteerBackend(ORACLE_GAZETTEER)))
+    return v.select("url", "surface",
+                    F.col("begin").alias("begin_pos"),
+                    F.col("type_final").alias("type"))
+
+
+# wrong first-pass type for one surface — forces a C8 dispute per
+# "window" mention; the dispute answer (oracle gazetteer) must win
+DISPUTED_GAZ = {s: ("WRONG" if s == "window" else t)
+                for s, t in ORACLE_GAZETTEER.items()}
+
+
+def q_disputed_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 full dispute resolution (reference `algorithms.py:317-326`):
+    first-pass extraction runs with a gazetteer that mislabels
+    'window', the verifier disagrees, the third (dispute) query is
+    issued and its parenthesized answer wins — so the final table
+    equals the plain mention oracle closed form."""
+    m = _oracle_mentions(spark, sf_dir, gaz=DISPUTED_GAZ, carry=("text",))
+    v = verify_types(m, resolve_disputes=True,
                      backend_factory=lambda: RetryingBackend(
                          GazetteerBackend(ORACLE_GAZETTEER)))
     return v.select("url", "surface",
@@ -858,6 +879,7 @@ QUERIES = {
     "q_events": q_events,
     "q_pipeline_triples": q_pipeline_triples,
     "q_verified_mentions": q_verified_mentions,
+    "q_disputed_mentions": q_disputed_mentions,
 }
 
 ORACLE_SQL = {
@@ -886,5 +908,6 @@ ORACLE_SQL = {
     "q_order_priority": _sql_order_priority(),
     "q_events": _sql_events(),
     "q_verified_mentions": _sql_mentions(),
+    "q_disputed_mentions": _sql_mentions(),
     # q_knn_lsh, q_pipeline_triples: rows-only (approximate / no closed form)
 }
