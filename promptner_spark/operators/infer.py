@@ -27,8 +27,26 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from .. import schema
-from ..functions.prompts import PromptSpec, completion_prompt
-from .model import Backend, default_backend_factory
+from ..functions.prompts import (
+    PromptSpec, chat_message_prefix, chat_user_turn, completion_prompt,
+)
+from .model import Backend, default_backend_factory, is_chat_backend
+
+
+def _make_generate(backend: Backend, spec: PromptSpec):
+    """C3 consumer — the reference's ``__call__`` dispatch
+    (`models.py:47-52` routed through `algorithms.py:186-225`):
+    completion backends get the rendered ``prefix + text + suffix``
+    string; chat backends get the constant message prefix (system
+    turn + exemplar user/assistant pairs, built ONCE per task) plus
+    the per-row user turn. Returns ``texts -> raw answers``."""
+    prefix, suffix = spec.prefix(), PromptSpec.SUFFIX
+    if is_chat_backend(backend):
+        chat_prefix = chat_message_prefix(spec)
+        return lambda texts: backend.generate_chat(
+            [chat_prefix + [chat_user_turn(t)] for t in texts])
+    return lambda texts: backend.generate(
+        [prefix + t + suffix for t in texts])
 
 
 def run_inference(
@@ -56,11 +74,18 @@ def run_inference(
         partitions = sentences.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(partitions, F.hash(F.col("url")))
 
+    chat_prefix = chat_message_prefix(spec)
+
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = backend_factory()  # once per task
+        chat = is_chat_backend(backend)
         for pdf in batches:
             pdf = pdf.sort_values(["url", "sent_id"], kind="mergesort")
-            raw = backend.generate(pdf["prompt"].tolist())
+            if chat:   # C3: constant message prefix + per-row user turn
+                raw = backend.generate_chat(
+                    [chat_prefix + [chat_user_turn(t)] for t in pdf["text"]])
+            else:      # C2: the JVM-rendered completion prompt column
+                raw = backend.generate(pdf["prompt"].tolist())
             yield pd.DataFrame({
                 "url": pdf["url"].values,
                 "sent_id": pdf["sent_id"].values,
@@ -111,7 +136,6 @@ def extract_mentions(
     if partitions is None:
         partitions = sentences.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(partitions, F.hash(F.col("url")))
-    prefix, suffix = spec.prefix(), PromptSpec.SUFFIX
 
     in_types = {f.name: f.dataType for f in sentences.schema.fields}
     out_schema = T.StructType(
@@ -126,10 +150,10 @@ def extract_mentions(
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = backend_factory()
+        generate = _make_generate(backend, spec)
         for pdf in batches:
             pdf = pdf.sort_values(["url", "sent_id"], kind="mergesort")
-            raws = backend.generate(
-                [prefix + t + suffix for t in pdf["text"]])
+            raws = generate(pdf["text"].tolist())
             carried = [pdf[c] for c in out_cols[n_base:]]
             rows: list[tuple] = []
             for url, sent_id, text, raw, *extra_vals in zip(

@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..functions.prompts import dispute_prompt_str, type_verify_prompt_str
-from .model import Backend, default_backend_factory
+from .model import Backend, default_backend_factory, generate_any
 
 _VERDICT = T.StructType([
     T.StructField("url", T.StringType()),
@@ -89,7 +89,8 @@ def _verify_batch(backend: Backend, texts: list[str], surfaces: list[str],
     """The shared per-batch core: C7 query for every row, then (in
     dispute mode) one batched C8 query over the disagreeing subset.
     Returns (type_verified, type_final) lists."""
-    raws = backend.generate(
+    raws = generate_any(
+        backend,
         [type_verify_prompt_str(t, s) for t, s in zip(texts, surfaces)])
     verified = [_paren_type(r) for r in raws]
     if not resolve_disputes:
@@ -99,7 +100,7 @@ def _verify_batch(backend: Backend, texts: list[str], surfaces: list[str],
     disputed = [i for i, (t, v) in enumerate(zip(first_types, verified))
                 if v != (t or "")]
     if disputed:
-        draws = backend.generate([
+        draws = generate_any(backend, [
             dispute_prompt_str(texts[i], surfaces[i],
                                first_types[i] or "", verified[i])
             for i in disputed
