@@ -42,7 +42,9 @@ class PromptSpec:
     """The frozen outcome of the reference's ``Config.set_config``
     4-bool matrix (`algorithms.py:453-541`): definition on/off,
     exemplars on/off, CoT on/off, true/false-format on/off — resolved
-    into plain strings at the driver and broadcast as literals."""
+    into plain strings at the driver and broadcast as literals.
+    :func:`set_config` builds the matrix cell; direct construction
+    gives the default (defn=T, exemplar=T, coT=T, tf=T) shape."""
 
     defn: str = DEFAULT_DEFN
     format_task: str = DEFAULT_FORMAT_TASK
@@ -53,14 +55,106 @@ class PromptSpec:
     def prefix(self) -> str:
         """Everything before the paragraph (`algorithms.py:186-194`)."""
         parts: list[str] = []
-        if self.use_defn:
+        if self.use_defn and self.defn:
             parts.append(self.defn)
-        parts.append(self.format_task)
+        if self.format_task:
+            parts.append(self.format_task)
         if self.use_exemplars and self.exemplars:
             parts.extend(self.exemplars)
         return "\n".join(parts) + "\nParagraph: "
 
     SUFFIX = " \nAnswer:"
+
+
+# ------------------------------------------------- C1 set_config matrix
+# Answer-format blocks, one per (coT, tf) cell of the reference's
+# Config (`algorithms.py:427-451`) — parity prompt text, same role.
+COT_FORMAT = (
+    "Format:\n\n"
+    "1. First Candidate | True | Explanation why the word is an entity "
+    "(entity_type)\n"
+    "2. Second Candidate | False | Explanation why the word is not an "
+    "entity (entity_type)")
+NO_TF_FORMAT = (
+    "1. First Entity | Explanation why the word is an entity "
+    "(entity_type)\n"
+    "2. Second Entity | Explanation why the word is not an entity "
+    "(entity_type)")
+TF_FORMAT = (
+    "Format:\n\n"
+    "1. First Candidate | True | (entity_type)\n"
+    "2. Second Candidate | False | (entity_type)")
+EXEMPLAR_FORMAT = (
+    "Format:\n\n"
+    "1. First Entity | (entity_type)\n"
+    "2. Second Entity | (entity_type)")
+
+# Task sentences per (coT, tf) (`algorithms.py:489-540`).
+TASK_COT_TF = ("Q: Given the paragraph below, identify a list of possible "
+               "entities and for each entry explain why it either is or is "
+               "not an entity.")
+TASK_COT_NOTF = ("Q: Given the paragraph below, identify a list of entities "
+                 "and for each entry explain why it is an entity.")
+TASK_PLAIN = "Q: Given the paragraph below, identify the list of entities"
+
+
+@dataclass(frozen=True)
+class ExemplarFamilies:
+    """The four exemplar families a reference dataset Config carries
+    (`cot_exemplars` / `no_tf_exemplars` / `tf_exemplars` /
+    `exemplars`, `algorithms.py:508-541`) — each exemplar a
+    ``Paragraph ...\\nAnswer:\\n1. ...`` block in that family's answer
+    format."""
+
+    cot: tuple[str, ...] = ()
+    no_tf: tuple[str, ...] = ()
+    tf: tuple[str, ...] = ()
+    plain: tuple[str, ...] = ()
+
+    def pick(self, coT: bool, tf: bool) -> tuple[str, ...]:
+        if coT:
+            return self.cot if tf else self.no_tf
+        return self.tf if tf else self.plain
+
+
+def set_config(
+    defn_text: str = DEFAULT_DEFN,
+    families: ExemplarFamilies | None = None,
+    exemplar: bool = True,
+    coT: bool = True,
+    tf: bool = True,
+    defn: bool = True,
+) -> PromptSpec:
+    """The reference's ``Config.set_config`` 16-cell matrix
+    (`algorithms.py:453-541`) resolved into a frozen PromptSpec.
+
+    - without exemplars: format_task = task sentence + the (coT, tf)
+      format block (`algorithms.py:486-506`);
+    - with exemplars: the task sentence is interleaved before each
+      exemplar of the (coT, tf) family and repeated once more ahead of
+      the final paragraph (`algorithms.py:507-541`) — rendered here
+      into the exemplar tuple + format_task, keeping the engine's
+      uniform ``Paragraph:`` marker (the completion/chat renderers and
+      the golden replay pin the default cell byte-exactly).
+    """
+    families = families or ExemplarFamilies()
+    if coT:
+        task = TASK_COT_TF if tf else TASK_COT_NOTF
+        fmt = COT_FORMAT if tf else NO_TF_FORMAT
+    else:
+        task = TASK_PLAIN
+        fmt = TF_FORMAT if tf else EXEMPLAR_FORMAT
+    if not exemplar:
+        return PromptSpec(
+            defn=defn_text if defn else "",
+            format_task=task + " Answer in the format:\n" + fmt,
+            exemplars=(), use_defn=defn, use_exemplars=False)
+    family = families.pick(coT, tf)
+    rendered = tuple(task + "\n" + ex for ex in family)
+    return PromptSpec(
+        defn=defn_text if defn else "",
+        format_task=task + " Answer in the format:\n" + fmt,
+        exemplars=rendered, use_defn=defn, use_exemplars=True)
 
 
 def completion_prompt(spec: PromptSpec, text: Column) -> Column:

@@ -107,6 +107,77 @@ def evaluate_gold(
                           per_type, micro)
 
 
+ABLATE_BEST_CELLS: list[tuple[bool, bool, bool, bool]] = [
+    # (defn, exemplar, coT, tf) — reference `run.py:297-299`:
+    # best config and its four single-axis knockouts
+    (True, True, True, True), (False, True, True, True),
+    (True, False, True, True), (True, True, False, True),
+    (True, True, True, False),
+]
+
+
+def ablation_cells(vary_defn: bool = True, vary_exemplar: bool = True,
+                   vary_cot: bool = True, vary_tf: bool = True,
+                   ) -> list[tuple[bool, bool, bool, bool]]:
+    """The (defn, exemplar, coT, tf) grid in the reference's loop
+    order (`run.py:266-281` ``ablate_all``)."""
+    return [
+        (d, e, c, t)
+        for d in ([True, False] if vary_defn else [True])
+        for e in ([True, False] if vary_exemplar else [True])
+        for c in ([True, False] if vary_cot else [True])
+        for t in ([True, False] if vary_tf else [True])
+    ]
+
+
+def ablate(
+    gold: DataFrame,
+    defn_text: str | None = None,
+    families=None,
+    backend_factory: Callable[[], Backend] | None = None,
+    cells: list[tuple[bool, bool, bool, bool]] | None = None,
+    n_runs: int = 1,
+    limit: int | None = None,
+    seed: int = 0,
+):
+    """Prompt-ablation study (reference ``ablate_all``/``ablate_best``,
+    `run.py:266-313`): evaluate every (defn, exemplar, coT, tf) cell
+    of the set_config matrix on the same gold table and tabulate
+    micro/macro F1 mean±std over ``n_runs`` seeded repeats.
+
+    Driver-side loop over 16 (or ``cells``) independent Spark jobs —
+    each cell is one evaluate_gold DAG; at scale cells are trivially
+    schedulable side by side. Returns a pandas DataFrame with columns
+    (defn, exemplar, cot, tf, micro_f1_mean, micro_f1_std,
+    macro_f1_mean, macro_f1_std, n_runs)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.prompts import DEFAULT_DEFN, set_config
+
+    defn_text = defn_text if defn_text is not None else DEFAULT_DEFN
+    cells = cells if cells is not None else ablation_cells()
+    rows = []
+    for d, e, c, t in cells:
+        spec = set_config(defn_text, families=families,
+                          exemplar=e, coT=c, tf=t, defn=d)
+        micros, macros = [], []
+        for run in range(n_runs):
+            res = evaluate_gold(gold, spec=spec,
+                                backend_factory=backend_factory,
+                                limit=limit, seed=seed + run)
+            micros.append(res.micro.collect()[0]["f1"])
+            per_type = res.per_type.collect()
+            macros.append(
+                sum(r["f1"] for r in per_type) / max(len(per_type), 1))
+        mi, ma = np.array(micros), np.array(macros)
+        rows.append((d, e, c, t, float(mi.mean()), float(mi.std()),
+                     float(ma.mean()), float(ma.std()), n_runs))
+    return pd.DataFrame(rows, columns=[
+        "defn", "exemplar", "cot", "tf", "micro_f1_mean", "micro_f1_std",
+        "macro_f1_mean", "macro_f1_std", "n_runs"])
+
+
 def evaluate_gold_iob2(
     spark: SparkSession,
     path: str,
