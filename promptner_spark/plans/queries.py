@@ -202,9 +202,25 @@ GROUP BY 1, 2, 3"""
 
 # ----------------------------------------------------------------- E2 / J5
 def q_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gold = _oracle_mentions(spark, sf_dir).select(
+    """Span P/R/F1 of the perturbed predictor vs gold. ONE inference
+    pass: PRED_GAZ differs from the oracle gazetteer only by dropped
+    surfaces and a type flip, and single-word alignment is per-surface
+    independent, so pred is derived row-wise from the persisted gold
+    mention table instead of running the extraction UDF twice
+    (VERDICT r1 perf note on the double pass); the DuckDB oracle still
+    computes pred from scratch — hash_match proves the derivation."""
+    base = _oracle_mentions(spark, sf_dir).persist()
+    gold = base.select(
         F.col("url").alias("doc_id"), "sent_id", "begin", "end", "type")
-    pred = _oracle_mentions(spark, sf_dir, PRED_GAZ).select(
+    dropped = [s for s in ORACLE_GAZETTEER if s not in PRED_GAZ]
+    flipped = {s: t for s, t in PRED_GAZ.items()
+               if ORACLE_GAZETTEER.get(s) != t}
+    pred = base.where(~F.col("surface").isin(dropped))
+    for s, t in flipped.items():
+        pred = pred.withColumn(
+            "type", F.when(F.col("surface") == s, F.lit(t))
+            .otherwise(F.col("type")))
+    pred = pred.select(
         F.col("url").alias("doc_id"), "sent_id", "begin", "end", "type")
     prf = span_prf(pred, gold, by_type=True)
     return prf.select(

@@ -97,3 +97,21 @@ def test_wholestage_codegen_covers_textstats(spark, sf_dir):
     # column pruning reached the scan
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "struct<text:string,lang:string>" in scan[0]
+
+
+def test_span_f1_runs_one_inference_stage(spark, sf_dir):
+    """q_span_f1 derives the perturbed predictor from the persisted
+    gold mention table — exactly ONE MapInPandas (inference) stage in
+    the whole plan, not two (round-1 ran the UDF chain twice)."""
+    from promptner_spark.plans.queries import q_span_f1
+
+    import re
+
+    df = q_span_f1(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # every MapInPandas occurrence is the rendering of the ONE cached
+    # relation (plan text repeats the cached subtree per consumer) —
+    # same count as InMemoryRelation, and a single distinct expr id
+    assert plan.count("MapInPandas") == plan.count("InMemoryRelation") > 0
+    ids = set(re.findall(r"MapInPandas (fused\(.*?\)#\d+)", plan))
+    assert len(ids) == 1, ids
