@@ -14,9 +14,12 @@ from pyspark.sql import DataFrame, functions as F
 SENT_TOKENS = 25
 
 
-def split_sentences(pages: DataFrame, sent_tokens: int = SENT_TOKENS) -> DataFrame:
+def split_sentences(pages: DataFrame, sent_tokens: int = SENT_TOKENS,
+                    carry: tuple[str, ...] = ()) -> DataFrame:
     """pages(url, text, ...) → (url, sent_id, text) one row per chunk
-    of ``sent_tokens`` tokens."""
+    of ``sent_tokens`` tokens. ``carry`` copies extra page columns
+    (e.g. ``warc_ts`` for streaming event-time) onto every chunk row —
+    a projection, not a join."""
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(sent_tokens)).cast("int")
     chunks = F.transform(
@@ -26,7 +29,8 @@ def split_sentences(pages: DataFrame, sent_tokens: int = SENT_TOKENS) -> DataFra
     return (
         pages
         .where(F.col("text").isNotNull() & (F.length("text") > 0))
-        .select("url", F.posexplode(chunks).alias("sent_id", "sent_text"))
+        .select("url", *carry,
+                F.posexplode(chunks).alias("sent_id", "sent_text"))
         .select("url", F.col("sent_id").cast("int").alias("sent_id"),
-                F.col("sent_text").alias("text"))
+                F.col("sent_text").alias("text"), *carry)
     )

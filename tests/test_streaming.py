@@ -31,6 +31,7 @@ def _drain(spark, in_dir: str, out_dir: str, ckpt: str):
         stream_mentions(stream_pages(spark, in_dir), partitions=4),
         out_dir, ckpt)
     q.awaitTermination(120)
+    return q
 
 
 def test_stream_matches_batch_and_resumes(spark, sf_dir, pages_dirs):
@@ -40,22 +41,37 @@ def test_stream_matches_batch_and_resumes(spark, sf_dir, pages_dirs):
     in_dir, drop_b, root = pages_dirs
     out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
 
-    _drain(spark, in_dir, out_dir, ckpt)
+    q1 = _drain(spark, in_dir, out_dir, ckpt)
     first = spark.read.parquet(out_dir).count()
     assert first > 0
 
     # second drop lands; a RESTARTED query processes only the new files
     drop_b.write.mode("append").parquet(in_dir)
-    _drain(spark, in_dir, out_dir, ckpt)
+    q2 = _drain(spark, in_dir, out_dir, ckpt)
+
+    # the mention stream is STATELESS: warc_ts is carried through
+    # chunking/extraction, not re-attached by a stream-stream join
+    # whose state would grow across triggers (VERDICT r1 defect #3)
+    for q in (q1, q2):
+        progress = q.lastProgress
+        assert progress is not None and progress["stateOperators"] == []
 
     got = spark.read.parquet(out_dir)
     batch = extract_mentions(
-        split_sentences(spark.read.parquet(in_dir)), partitions=4)
-    cols = ["url", "sent_id", "mention_id", "surface", "begin", "end", "type"]
+        split_sentences(spark.read.parquet(in_dir), carry=("warc_ts",)),
+        partitions=4, carry=("warc_ts",))
+    cols = ["url", "sent_id", "mention_id", "surface", "begin", "end",
+            "type", "warc_ts"]
     a = sorted(tuple(r) for r in got.select(*cols).collect())
     b = sorted(tuple(r) for r in batch.select(*cols).collect())
-    assert a == b            # identical rows, no duplicates from resume
+    assert a == b            # identical rows (incl. event time), no dups
     assert len(a) > first    # and the second drop actually added rows
+
+    # carried timestamp matches the page capture time per url
+    pages = spark.read.parquet(in_dir).select("url", "warc_ts")
+    joined = got.select("url", F.col("warc_ts").alias("got_ts")) \
+        .join(pages, "url")
+    assert joined.where(F.col("got_ts") != F.col("warc_ts")).count() == 0
 
 
 def test_windowed_mention_rate(spark, sf_dir, tmp_path):
