@@ -639,6 +639,72 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=4, n_tables=8)
 
 
+_EMBDUP_N_PLANES, _EMBDUP_N_TABLES, _EMBDUP_MIN_SIM = 8, 4, 0.8
+_EMB_ORACLE_DIM = 64  # every testdata sf ships dim-64 embeddings
+
+
+def _augmented_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + exact copies of every 5th vector (deterministic
+    near-dup planted identically in both engines)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dup = e.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    return e.unionByName(dup)
+
+
+def q_embdup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale embedding near-dup: hyperplane-bucket self-join +
+    cosine verify (similarity.embedding_near_dup_pairs). The DuckDB
+    oracle replays the ±1 coefficient literals, the bucket bitmask,
+    the bucket join, and the verify — value-exact, no rows-only
+    hedge (planted copies collide in every bucket; at min_sim=0.8
+    only they survive on this data, so borderline-bucket float edge
+    cases cannot change the output)."""
+    dim = _emb_dim(sf_dir)
+    pairs = similarity.embedding_near_dup_pairs(
+        _augmented_emb(spark, sf_dir), dim=dim,
+        min_sim=_EMBDUP_MIN_SIM, n_planes=_EMBDUP_N_PLANES,
+        n_tables=_EMBDUP_N_TABLES)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round(F.col("sim") * 1_000_000).cast("long").alias("sim_scaled"))
+
+
+def _sql_embdup_lsh() -> str:
+    from ..operators.similarity import plane_coefficients
+    table_rows = []
+    for t in range(_EMBDUP_N_TABLES):
+        coefs = plane_coefficients(_EMB_ORACLE_DIM, _EMBDUP_N_PLANES, t)
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {[float(c) for c in row]})"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, row in enumerate(coefs))
+        table_rows.append(f"({t}, {bucket})")
+    values = ", ".join(table_rows)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aug AS (SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id % 5 = 0),
+b AS (SELECT vec_id, v, tbl, bucket
+      FROM aug, LATERAL (VALUES {values}) AS t(tbl, bucket)),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM b x JOIN b y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(q.v, cc.v) /
+         (sqrt(list_dot_product(q.v, q.v)) *
+          sqrt(list_dot_product(cc.v, cc.v))) AS sim
+  FROM cand c JOIN aug q ON q.vec_id = c.id_a
+              JOIN aug cc ON cc.vec_id = c.id_b)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(round(sim * 1000000) AS BIGINT) AS sim_scaled
+FROM scored WHERE sim >= {_EMBDUP_MIN_SIM}"""
+
+
 def q_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.embedding_near_pairs(_emb(spark, sf_dir), min_sim=0.25)
     return out.select(
@@ -889,6 +955,7 @@ QUERIES = {
     "q_knn": q_knn,
     "q_knn_lsh": q_knn_lsh,
     "q_embdup": q_embdup,
+    "q_embdup_lsh": q_embdup_lsh,
     "q_pricing": q_pricing,
     "q_top_orders": q_top_orders,
     "q_order_priority": q_order_priority,
@@ -919,6 +986,7 @@ ORACLE_SQL = {
     "q_components": _sql_components(),
     "q_knn": _sql_knn(),
     "q_embdup": _sql_embdup(),
+    "q_embdup_lsh": _sql_embdup_lsh(),
     "q_pricing": _sql_pricing(),
     "q_top_orders": _sql_top_orders(),
     "q_order_priority": _sql_order_priority(),

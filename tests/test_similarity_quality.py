@@ -91,3 +91,46 @@ def test_hyperplane_signature_matches_python_rederivation(spark, sf_dir):
                 if proj >= 0:
                     expected |= 1 << p
             assert got[vid][table // 2] == expected, (vid, table)
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    """LSH-bucketed near-dup vs brute force: exact copies MUST all be
+    found (identical vectors share every bucket — guaranteed recall),
+    and recall on natural moderate-similarity pairs stays above the
+    random-bucket baseline."""
+    from promptner_spark.operators.similarity import (
+        cosine, embedding_near_dup_pairs)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    dup = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+    aug = emb.unionByName(dup)
+
+    # moderate threshold so natural pairs participate too; at
+    # cos≈0.35 (θ≈70°) the per-plane collision p is only ~0.61, so
+    # the test widens the OR-amplification dial (4 planes × 16
+    # tables → ~0.9 theoretical candidate recall) — the production
+    # defaults (8×4) target true near-dups at min_sim≥0.8, where
+    # per-plane p≥0.8 gives comparable recall at a quarter the cost
+    thresh = 0.35
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
+        aug, dim=dim, min_sim=thresh, n_planes=4, n_tables=16).collect()}
+
+    a = aug.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = aug.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    brute = {(r["id_a"], r["id_b"]) for r in
+             a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+             .where(cosine(F.col("va"), F.col("vb")) >= thresh)
+             .select("id_a", "id_b").collect()}
+
+    copies = {(r["vec_id"], r["vec_id"] + 50_000)
+              for r in emb.where(F.col("vec_id") % 7 == 0).collect()}
+    assert copies <= brute
+    assert copies <= got, "missed an exact copy (guaranteed recall)"
+    assert got <= brute, "false positive: verify must be exact"
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.5, f"recall {recall:.2f}"
