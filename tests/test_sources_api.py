@@ -219,3 +219,25 @@ def test_sentence_f1_keeps_empty_sentences(spark):
     for key in [("d", 1), ("e", 0)]:
         r = rows[key]
         assert (r["tp"], r["n_pred"], r["n_gold"], r["f1"]) == (0, 0, 0, 1.0)
+
+
+def test_quick_helpers(spark):
+    """Quick interactive sugar (reference `main.py:9-73`): one-shot
+    span tagging, single-row annotation, single-sentence analyze."""
+    from promptner_spark.quick import Quick
+
+    tags = Quick.example_span("the stream joins a vector")
+    assert len(tags) == 5 and any(t != "O" for t in tags)
+
+    gold = spark.createDataFrame(
+        [("the stream joins a vector",
+          ["the", "stream", "joins", "a", "vector"],
+          ["O", "B-SRC", "O", "O", "B-DATA"])],
+        "text string, true_tokens array<string>, exact_types array<string>")
+    ann = Quick.dataset(0, gold, verbose=False)
+    assert "stream | True |" in ann and "(SRC)" in ann
+
+    f1 = Quick.analyze(["O", "B-SRC", "O"], ["O", "B-SRC", "O"],
+                       verbose=False)
+    assert f1 == 1.0
+    assert Quick.analyze(["O", "B-SRC"], ["O", "O"], verbose=False) == 0.0
