@@ -163,6 +163,43 @@ def completion_prompt(spec: PromptSpec, text: Column) -> Column:
     return F.concat(F.lit(spec.prefix()), text, F.lit(PromptSpec.SUFFIX))
 
 
+@dataclass(frozen=True)
+class VerifySpec:
+    """C7/C8 prompt configuration — the reference ``set_config``
+    MultiAlgorithm branch (`algorithms.py:455-476`): a definition, a
+    type task with few-shot ``type_exemplars`` interleaved before the
+    final query, and a dispute task with ``dispute_exemplars``
+    likewise (``exemplar_construction`` loops). The default (no defn,
+    no exemplars) renders byte-identically to the bare templates the
+    oracle queries pin."""
+
+    defn: str = ""
+    type_exemplars: tuple[str, ...] = ()
+    dispute_exemplars: tuple[str, ...] = ()
+
+    def _assemble(self, task: str, exemplars: tuple[str, ...],
+                  text: str, afterphrase: str) -> str:
+        parts: list[str] = []
+        if self.defn:
+            parts.append(self.defn)
+        for ex in exemplars:   # exemplar_construction (`algorithms.py:462-466`)
+            parts.append(task)
+            parts.append(ex)
+        parts.append(task)
+        return ("\n".join(parts)
+                + f"\nParagraph: {text} \n{afterphrase} \nAnswer:")
+
+    def type_prompt(self, text: str, surface: str) -> str:
+        return self._assemble(TYPE_Q, self.type_exemplars, text,
+                              f"Entity Phrase: {surface}")
+
+    def dispute_prompt(self, text: str, surface: str,
+                       o1: str, o2: str) -> str:
+        return self._assemble(
+            DISPUTE_Q, self.dispute_exemplars, text,
+            f"Entity Phrase: {surface}, Options: ({o1}), ({o2})")
+
+
 def type_verify_prompt_str(text: str, surface: str) -> str:
     """C7 as a plain string — the form used inside the fused
     verify+dispute ``mapInPandas`` stage (the template travels once in

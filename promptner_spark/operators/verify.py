@@ -39,7 +39,7 @@ from typing import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..functions.prompts import dispute_prompt_str, type_verify_prompt_str
+from ..functions.prompts import VerifySpec
 from .model import Backend, default_backend_factory, generate_any
 
 _VERDICT = T.StructType([
@@ -64,6 +64,7 @@ def verify_types(
     sentences: DataFrame | None = None,
     backend_factory: Callable[[], Backend] | None = None,
     resolve_disputes: bool = False,
+    spec: VerifySpec | None = None,
 ) -> DataFrame:
     """mentions → + ``type_verified`` and ``type_final`` columns.
 
@@ -72,26 +73,29 @@ def verify_types(
     pass with no joins; otherwise ``sentences`` (url, sent_id, text)
     is required and the legacy shuffle-join path runs."""
     backend_factory = backend_factory or default_backend_factory
+    spec = spec or VerifySpec()
 
     if "text" in mentions.columns:
-        return _verify_fused(mentions, backend_factory, resolve_disputes)
+        return _verify_fused(mentions, backend_factory, resolve_disputes,
+                             spec)
     if sentences is None:
         raise ValueError(
             "mentions has no 'text' column and no sentences table was "
             "given — carry text out of extract_mentions or pass sentences")
     return _verify_joined(mentions, sentences, backend_factory,
-                          resolve_disputes)
+                          resolve_disputes, spec)
 
 
 def _verify_batch(backend: Backend, texts: list[str], surfaces: list[str],
                   first_types: list[str], resolve_disputes: bool,
+                  spec: VerifySpec = VerifySpec(),
                   ) -> tuple[list[str], list[str]]:
     """The shared per-batch core: C7 query for every row, then (in
     dispute mode) one batched C8 query over the disagreeing subset.
     Returns (type_verified, type_final) lists."""
     raws = generate_any(
         backend,
-        [type_verify_prompt_str(t, s) for t, s in zip(texts, surfaces)])
+        [spec.type_prompt(t, s) for t, s in zip(texts, surfaces)])
     verified = [_paren_type(r) for r in raws]
     if not resolve_disputes:
         final = [v if v else t for v, t in zip(verified, first_types)]
@@ -101,8 +105,8 @@ def _verify_batch(backend: Backend, texts: list[str], surfaces: list[str],
                 if v != (t or "")]
     if disputed:
         draws = generate_any(backend, [
-            dispute_prompt_str(texts[i], surfaces[i],
-                               first_types[i] or "", verified[i])
+            spec.dispute_prompt(texts[i], surfaces[i],
+                                first_types[i] or "", verified[i])
             for i in disputed
         ])
         for i, raw in zip(disputed, draws):
@@ -114,7 +118,8 @@ def _verify_batch(backend: Backend, texts: list[str], surfaces: list[str],
 
 def _verify_fused(mentions: DataFrame,
                   backend_factory: Callable[[], Backend],
-                  resolve_disputes: bool) -> DataFrame:
+                  resolve_disputes: bool,
+                  spec: VerifySpec = VerifySpec()) -> DataFrame:
     out_schema = T.StructType(
         list(mentions.schema.fields)
         + [T.StructField("type_verified", T.StringType(), True),
@@ -125,7 +130,7 @@ def _verify_fused(mentions: DataFrame,
         for pdf in batches:
             verified, final = _verify_batch(
                 backend, pdf["text"].tolist(), pdf["surface"].tolist(),
-                pdf["type"].tolist(), resolve_disputes)
+                pdf["type"].tolist(), resolve_disputes, spec)
             yield pdf.assign(type_verified=verified, type_final=final)
 
     return mentions.mapInPandas(infer, schema=out_schema)
@@ -133,7 +138,8 @@ def _verify_fused(mentions: DataFrame,
 
 def _verify_joined(mentions: DataFrame, sentences: DataFrame,
                    backend_factory: Callable[[], Backend],
-                   resolve_disputes: bool) -> DataFrame:
+                   resolve_disputes: bool,
+                   spec: VerifySpec = VerifySpec()) -> DataFrame:
     """Legacy path: fetch text via equi-join, run the same batch core,
     join the verdict back on (url, sent_id, mention_id) (join J4)."""
     withp = (
@@ -152,7 +158,7 @@ def _verify_joined(mentions: DataFrame, sentences: DataFrame,
         for pdf in batches:
             verified, final = _verify_batch(
                 backend, pdf["text"].tolist(), pdf["surface"].tolist(),
-                pdf["type"].tolist(), resolve_disputes)
+                pdf["type"].tolist(), resolve_disputes, spec)
             yield pd.DataFrame({
                 "url": pdf["url"].values,
                 "sent_id": pdf["sent_id"].values,

@@ -147,3 +147,42 @@ def test_joined_fallback_matches_fused(spark, sf_dir):
     a = sorted(tuple(r) for r in fused.select(*cols).collect())
     b = sorted(tuple(r) for r in joined.select(*cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_verify_spec_default_matches_bare_templates():
+    """VerifySpec() must render byte-identically to the bare C7/C8
+    templates the oracle queries pin."""
+    from promptner_spark.functions.prompts import (
+        VerifySpec, dispute_prompt_str, type_verify_prompt_str)
+
+    vs = VerifySpec()
+    assert vs.type_prompt("a b c", "b") == type_verify_prompt_str("a b c", "b")
+    assert vs.dispute_prompt("a b", "b", "X", "Y") == \
+        dispute_prompt_str("a b", "b", "X", "Y")
+
+
+def test_verify_spec_interleaves_exemplars():
+    """set_config MultiAlgorithm branch parity (`algorithms.py:455-476`):
+    defn first, then task+exemplar per exemplar, then the task once
+    more ahead of the final paragraph."""
+    from promptner_spark.functions.prompts import DISPUTE_Q, TYPE_Q, VerifySpec
+
+    vs = VerifySpec(
+        defn="DEFN.",
+        type_exemplars=("Paragraph: x \nEntity Phrase: x \nAnswer: x is a (T)",),
+        dispute_exemplars=("Paragraph: y \nEntity Phrase: y, Options: (A), (B)"
+                           " \nAnswer: y is a (A)",))
+    tp = vs.type_prompt("the para", "phrase")
+    assert tp.startswith("DEFN.\n" + TYPE_Q)
+    assert tp.count(TYPE_Q) == 2          # once per exemplar + final
+    assert tp.endswith("\nParagraph: the para \nEntity Phrase: phrase \nAnswer:")
+    dp = vs.dispute_prompt("the para", "phrase", "A", "B")
+    assert dp.count(DISPUTE_Q) == 2
+    assert ", Options: (A), (B) \nAnswer:" in dp
+
+    # and the gazetteer backend still parses the phrase out of the
+    # exemplar-laden prompt (rfind semantics, `algorithms.py:192`)
+    from promptner_spark.operators.model import GazetteerBackend
+    gb = GazetteerBackend({"phrase": "T9"})
+    assert gb.generate([tp]) == ["phrase is a (T9)"]
+    assert gb.generate([dp]) == ["phrase is a (T9)"]
