@@ -107,12 +107,23 @@ def run_pipeline(
     checkpoint_root: str,
     partitions: int | None = None,
     fuzzy_link: bool = True,
+    n_buckets: int = 16,
 ) -> PipelineResult:
     """Materialized, resume-from-checkpoint pipeline (north_rule).
 
     Each stage is parquet + per-partition manifest; re-running after a
-    crash re-executes only incomplete stages.
-    """
+    crash re-executes only incomplete stages. The big graft tables are
+    written PARTITIONED (the north_star's "partitioned Iceberg graph
+    tables" discipline, parquet stand-in — see plans/checkpoint.py):
+
+    - ``mentions`` / ``linked``: ``bucket = pmod(xxhash64(url),
+      n_buckets)`` — url-hash bucketing, so a resume, a backfill of
+      one bucket, or a per-bucket consumer touches 1/n of the files;
+    - ``triples``: bucketed on the SUBJECT hash — downstream
+      per-entity reads (edge listing, degree counts) prune to one
+      bucket instead of scanning the corpus-wide edge table.
+    Nodes and aliases stay unpartitioned (vocabulary-sized)."""
+    url_bucket = F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     pages = run_stage(
         spark, checkpoint_root, "pages",
         lambda: pages_with_extracted_text(spark, sf_dir))
@@ -121,7 +132,9 @@ def run_pipeline(
         lambda: split_sentences(pages))
     mentions = run_stage(
         spark, checkpoint_root, "mentions",
-        lambda: extract_mentions(sentences, partitions=partitions))
+        lambda: extract_mentions(sentences, partitions=partitions)
+        .withColumn("bucket", url_bucket),
+        partition_cols=["bucket"])
     # aliases materialized alongside nodes/edges (north_star graph
     # tables: nodes, edges, aliases)
     aliases = run_stage(
@@ -129,14 +142,18 @@ def run_pipeline(
         lambda: linking.alias_df(spark))
     linked = run_stage(
         spark, checkpoint_root, "linked",
-        lambda: linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link))
+        lambda: linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link),
+        partition_cols=["bucket"])   # bucket column rides in from mentions
     canonical = triples_op.canonicalize(linked)
     nodes = run_stage(
         spark, checkpoint_root, "nodes",
         lambda: triples_op.nodes_table(canonical))
     trips = run_stage(
         spark, checkpoint_root, "triples",
-        lambda: triples_op.emit_triples(canonical))
+        lambda: triples_op.emit_triples(canonical)
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")),
+        partition_cols=["bucket"])
     counts = run_stage(
         spark, checkpoint_root, "triple_counts",
         lambda: triples_op.triple_counts(trips))
