@@ -45,10 +45,13 @@ HEADLINE = [
     "q_span_f1",            # E2 span-F1 evaluation aggregation
     "q_mentions",           # M4+A2+SP1 inference/parse/align
     "q_link_salted",        # J3 salted skew join linking
+    "q_verified_mentions",  # SP3 fused no-join verification pass
     "q_minhash_pairs",      # MinHash near-dup candidate pairs
     "q_dedup_exact",        # exact dedup over documents
     "q_simhash",            # SimHash fingerprints
+    "q_simhash_pairs",      # pigeonhole-banded simhash near-dups
     "q_knn",                # brute-force cosine top-k ANN baseline
+    "q_embdup_lsh",         # hyperplane-bucketed embedding near-dup
     "q_textstats",          # text quality/langid/token analytics
     "q_pricing",            # TPC-H-ish Q1 aggregation
     "q_top_orders",         # TPC-H-ish Q3-like join+topk

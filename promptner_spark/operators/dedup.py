@@ -24,6 +24,23 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.hashing import hamming64, jaccard, token_shingles
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-spread a splits-starved scan before per-shingle hash work.
+
+    A small parquet file yields fewer scan splits than cores (sf0.1
+    documents = 2 splits on a 32-core box), and the explode+hash
+    projection inherits that parallelism — 2/32 cores busy on the
+    most compute-heavy stage. At corpus scale file splits exceed
+    cores and this is a no-op; locally it is one tiny shuffle of the
+    doc rows (pre-explode, so the shingle fanout never crosses the
+    exchange)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep min(id) per content digest. Returns the
@@ -66,9 +83,10 @@ def minhash_signatures(
     (array_min × n over a transform) which re-evaluates the shingle
     array per permutation — measured ~20× slower at corpus scale."""
     from ..functions.hashing import portable_hash_half as phh
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(token_shingles(F.col(text_col), shingle_k)).alias("s"),
+    sh = _spread(docs.select(F.col(id_col).alias("id"),
+                             F.col(text_col).alias("t"))).select(
+        "id",
+        F.explode(token_shingles(F.col("t"), shingle_k)).alias("s"),
     )
     # two permutations per md5 digest (hex halves) — half the digest
     # bill; codegen CSE shares each md5 between its two halves
@@ -146,9 +164,10 @@ def simhash_table(docs: DataFrame, text_col: str = "text",
     single hash per shingle → groupBy(doc) with ``bits`` conditional
     sums (all map-side combinable) → fold bit votes into a LONG."""
     from ..functions.hashing import portable_hash as ph
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(token_shingles(F.col(text_col), shingle_k)).alias("s"),
+    sh = _spread(docs.select(F.col(id_col).alias("doc_id"),
+                             F.col(text_col).alias("t"))).select(
+        "doc_id",
+        F.explode(token_shingles(F.col("t"), shingle_k)).alias("s"),
     )
     hashed = sh.select("doc_id", ph(F.col("s"), 0).alias("h"))
     agg = hashed.groupBy("doc_id").agg(
