@@ -50,6 +50,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with splits-starvation repair (dedup._spread): the
+    small local parquet yields 2 scan splits, which starves heavy
+    per-row expressions (rolling-hash fingerprint measured 18.7s on
+    2/32 cores vs 1.3s spread). No-op at real corpus sizes."""
+    from ..operators.dedup import _spread
+    return _spread(_docs(spark, sf_dir))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -276,7 +285,7 @@ FROM m"""
 
 # ------------------------------------------------------------- text analysis
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     t = F.col("text")
     return d.select(
         "lang",
@@ -334,7 +343,7 @@ FROM documents GROUP BY lang"""
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     return (
         d.where((F.col("lang") == "en")
                 & (TS.quality_score(F.col("text")) >= 0.6))
@@ -353,7 +362,7 @@ GROUP BY source"""
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
