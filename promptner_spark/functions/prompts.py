@@ -51,6 +51,10 @@ class PromptSpec:
     exemplars: tuple[str, ...] = field(default_factory=tuple)
     use_defn: bool = True
     use_exemplars: bool = True
+    # the bare task sentence (no format block) — the reference's
+    # ``whole_task``, used as the chat system turn when exemplars are
+    # on (`algorithms.py:204`); '' falls back to format_task
+    whole_task: str = ""
 
     def prefix(self) -> str:
         """Everything before the paragraph (`algorithms.py:186-194`)."""
@@ -154,7 +158,8 @@ def set_config(
     return PromptSpec(
         defn=defn_text if defn else "",
         format_task=task + " Answer in the format:\n" + fmt,
-        exemplars=rendered, use_defn=defn, use_exemplars=True)
+        exemplars=rendered, use_defn=defn, use_exemplars=True,
+        whole_task=task)
 
 
 def completion_prompt(spec: PromptSpec, text: Column) -> Column:
@@ -246,8 +251,11 @@ def chat_message_prefix(spec: PromptSpec) -> list[tuple[str, str]]:
     as ``[(content, role)]`` like the reference's message tuples
     (`models.py:22-25`); build once at the driver and close over it in
     the inference UDF — only the final user turn varies per row."""
+    task = (spec.whole_task
+            if spec.use_exemplars and spec.exemplars and spec.whole_task
+            else spec.format_task)
     msgs: list[tuple[str, str]] = [
-        (CHATBOT_INIT + spec.defn + "\n" + spec.format_task, "system")]
+        (CHATBOT_INIT + spec.defn + "\n" + task, "system")]
     for ex in spec.exemplars:
         head, _, tail = ex.partition("Answer:")
         msgs.append((head, "user"))

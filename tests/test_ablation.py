@@ -91,3 +91,23 @@ def test_ablation_table_shape(spark):
     best = ablate(gold, cells=ABLATE_BEST_CELLS)
     assert len(best) == 5
     assert (best["n_runs"] == 1).all()
+
+
+def test_chat_system_turn_uses_whole_task_with_exemplars():
+    """Reference `algorithms.py:202-219`: with exemplars the chat
+    system turn carries the bare task sentence (whole_task), without
+    them the full format_task; exemplars become user/assistant pairs."""
+    from promptner_spark.functions.prompts import (
+        TASK_COT_TF, chat_message_prefix, set_config)
+
+    with_ex = set_config("D.", families=FAMILIES, exemplar=True)
+    msgs = chat_message_prefix(with_ex)
+    assert msgs[0][1] == "system"
+    assert TASK_COT_TF in msgs[0][0]
+    assert "Answer in the format" not in msgs[0][0]   # whole_task only
+    assert [r for _c, r in msgs[1:]] == ["user", "assistant"]
+
+    without = set_config("D.", families=FAMILIES, exemplar=False)
+    msgs2 = chat_message_prefix(without)
+    assert "Answer in the format" in msgs2[0][0]      # format_task
+    assert len(msgs2) == 1
