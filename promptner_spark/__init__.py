@@ -36,6 +36,18 @@ _EXPORTS = {
     "evaluate_gold": ("promptner_spark.plans.evaluate_gold", "evaluate_gold"),
     "evaluate_gold_iob2": ("promptner_spark.plans.evaluate_gold",
                            "evaluate_gold_iob2"),
+    "ablate": ("promptner_spark.plans.evaluate_gold", "ablate"),
+    "set_config": ("promptner_spark.functions.prompts", "set_config"),
+    "PromptSpec": ("promptner_spark.functions.prompts", "PromptSpec"),
+    "ExemplarFamilies": ("promptner_spark.functions.prompts",
+                         "ExemplarFamilies"),
+    "VerifySpec": ("promptner_spark.functions.prompts", "VerifySpec"),
+    "OpenAIBackend": ("promptner_spark.operators.model", "OpenAIBackend"),
+    "HFBackend": ("promptner_spark.operators.model", "HFBackend"),
+    "RetryingBackend": ("promptner_spark.operators.model", "RetryingBackend"),
+    "GazetteerBackend": ("promptner_spark.operators.model",
+                         "GazetteerBackend"),
+    "Quick": ("promptner_spark.quick", "Quick"),
 }
 
 
