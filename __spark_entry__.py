@@ -8,10 +8,10 @@
   SURVEY.md §2 (see promptner_spark/plans/queries.py for the paired
   DuckDB closed forms and the cross-engine determinism rules;
   COVERAGE.md maps every inventory row to query + test).
-- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query; keys absent
-  here (q_knn_lsh, q_pipeline_triples, q_media_features) are
-  approximate / beyond SQL closed form and get the driver's rows-only
-  check.
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query; the only keys
+  absent (q_pipeline_triples, q_media_features) are beyond a SQL
+  closed form (multiword n-th-occurrence alignment; byte-histogram
+  codec) and get the driver's rows-only check.
 """
 
 from __future__ import annotations

@@ -637,15 +637,53 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank <= {_KNN_K}"""
 
 
+_KNN_LSH_PLANES, _KNN_LSH_TABLES = 4, 8
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate LSH-bucketed variant (rows-only check — the bucket
-    restriction has no tidy closed form, and approximate recall is
-    validated against exact q_knn in pytest)."""
+    """Approximate LSH-bucketed top-k. Value-exact since round 2: the
+    DuckDB oracle replays the literal hyperplane coefficients, the
+    (table, bucket) candidate restriction, and the cosine ranking
+    (same index-ordered double sums ⇒ identical sims ⇒ identical
+    ranks; ties broken by neighbor_id in both engines). Approximate
+    recall vs exact q_knn is additionally gated in pytest."""
     e = _emb(spark, sf_dir)
     dim = _emb_dim(sf_dir)
-    return similarity.lsh_topk(
+    out = similarity.lsh_topk(
         e, e.where(F.col("vec_id") < _KNN_QUERIES), dim=dim, k=_KNN_K,
-        n_planes=4, n_tables=8)
+        n_planes=_KNN_LSH_PLANES, n_tables=_KNN_LSH_TABLES)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"))
+
+
+def _sql_knn_lsh() -> str:
+    values = _sql_hyperplane_values(_KNN_LSH_TABLES, _KNN_LSH_PLANES)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, tbl, bucket
+      FROM e, LATERAL (VALUES {values}) AS t(tbl, bucket)),
+q AS (SELECT * FROM b WHERE vec_id < {_KNN_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE c.vec_id <> q.vec_id),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_dot_product(qe.v, ce.v) /
+         (sqrt(list_dot_product(qe.v, qe.v)) *
+          sqrt(list_dot_product(ce.v, ce.v))) AS sim
+  FROM cand cd JOIN e qe ON qe.vec_id = cd.query_id
+               JOIN e ce ON ce.vec_id = cd.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id
+FROM ranked WHERE rank <= {_KNN_K}"""
 
 
 _EMBDUP_N_PLANES, _EMBDUP_N_TABLES, _EMBDUP_MIN_SIM = 8, 4, 0.8
@@ -680,17 +718,25 @@ def q_embdup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sim") * 1_000_000).cast("long").alias("sim_scaled"))
 
 
-def _sql_embdup_lsh() -> str:
+def _sql_hyperplane_values(n_tables: int, n_planes: int,
+                           vec: str = "v") -> str:
+    """LATERAL VALUES rows ``(tbl, bucket)`` replaying the Spark
+    hyperplane signatures in DuckDB — same ±1 coefficient literals
+    (similarity.plane_coefficients), same sign→bitmask fold."""
     from ..operators.similarity import plane_coefficients
     table_rows = []
-    for t in range(_EMBDUP_N_TABLES):
-        coefs = plane_coefficients(_EMB_ORACLE_DIM, _EMBDUP_N_PLANES, t)
+    for t in range(n_tables):
+        coefs = plane_coefficients(_EMB_ORACLE_DIM, n_planes, t)
         bucket = " + ".join(
-            f"(CASE WHEN list_dot_product(v, {[float(c) for c in row]})"
+            f"(CASE WHEN list_dot_product({vec}, {[float(c) for c in row]})"
             f" >= 0 THEN {1 << p} ELSE 0 END)"
             for p, row in enumerate(coefs))
         table_rows.append(f"({t}, {bucket})")
-    values = ", ".join(table_rows)
+    return ", ".join(table_rows)
+
+
+def _sql_embdup_lsh() -> str:
+    values = _sql_hyperplane_values(_EMBDUP_N_TABLES, _EMBDUP_N_PLANES)
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 aug AS (SELECT vec_id, v FROM e
@@ -994,6 +1040,7 @@ ORACLE_SQL = {
     "q_simhash_pairs": _sql_simhash_pairs(),
     "q_components": _sql_components(),
     "q_knn": _sql_knn(),
+    "q_knn_lsh": _sql_knn_lsh(),
     "q_embdup": _sql_embdup(),
     "q_embdup_lsh": _sql_embdup_lsh(),
     "q_pricing": _sql_pricing(),
@@ -1002,5 +1049,5 @@ ORACLE_SQL = {
     "q_events": _sql_events(),
     "q_verified_mentions": _sql_mentions(),
     "q_disputed_mentions": _sql_mentions(),
-    # q_knn_lsh, q_pipeline_triples: rows-only (approximate / no closed form)
+    # q_pipeline_triples, q_media_features: rows-only (no SQL closed form)
 }
