@@ -27,9 +27,18 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     checkpoint: bool = True,
+    check_every: int = 2,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node id
-    reachable. Node ids must be orderable (LONG or STRING)."""
+    reachable. Node ids must be orderable (LONG or STRING).
+
+    ``check_every`` runs the fixpoint test (a labels⋈labels comparison
+    job) every k-th round instead of every round: with pointer
+    jumping most graphs converge in ~3 rounds, so k=2 halves the
+    driver-side barrier count for at most one redundant propagation
+    round — the label table is already stable then, so the extra
+    round is a cheap no-change pass. Convergence detection is still
+    exact (two consecutive identical label tables ⇒ fixpoint)."""
     # symmetrize + self-loops: every node maps to itself initially
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -42,7 +51,7 @@ def connected_components(
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("comp"))
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # propagate: each node adopts min(comp) over itself + neighbors
         neighbor_lbl = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -67,14 +76,17 @@ def connected_components(
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
-        # fixpoint test: any node whose label changed this round?
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1).count()
-        )
+        # fixpoint test every check_every rounds (exact: two
+        # consecutive identical label tables ⇒ converged)
+        if it % check_every == check_every - 1 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .limit(1).count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     return labels.select("node", F.col("comp").alias("component"))
