@@ -105,7 +105,13 @@ def minhash_candidate_pairs(
     band_size: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) sharing ≥1 band bucket."""
+    """LSH candidate pairs (id_a < id_b) sharing ≥1 band bucket.
+
+    No materialization boundary before the band self-join: both join
+    sides end at the same groupBy exchange, and ReuseExchange computes
+    it once (verified — an eager localCheckpoint here measured SLOWER:
+    it serializes the signature job ahead of the join instead of
+    overlapping, for work Spark already shares)."""
     sig = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_k)
     bands = [
         F.md5(F.concat_ws(",", *[
@@ -208,7 +214,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     ``max_hamming + 1`` disjoint bit-bands of the digest (pigeonhole ⇒
     every true pair collides in ≥1 band — 100% recall at the digest
     level), then verify exact Hamming distance. Bounded-fanout
-    equi-join on (band index, band value); no all-pairs anywhere."""
+    equi-join on (band index, band value); no all-pairs anywhere.
+    (Both self-join sides end at the digest groupBy exchange, which
+    ReuseExchange computes once — no boundary needed.)"""
     t = simhash_table(docs, bits=bits, shingle_k=shingle_k)
     bands = [
         F.shiftright(F.col("simhash"), shift)
