@@ -57,11 +57,14 @@ def build_pipeline(
     sf_dir: str,
     partitions: int | None = None,
     with_verify: bool = False,
+    resolve_disputes: bool = False,
     fuzzy_link: bool = True,
     replicate: int = 1,
     spec=None,
 ) -> PipelineResult:
-    """Pure-DAG pipeline (no materialization)."""
+    """Pure-DAG pipeline (no materialization). ``resolve_disputes``
+    (with ``with_verify``) enables the C8 third-query resolution in
+    the fused verification pass."""
     pages = pages_with_extracted_text(spark, sf_dir, replicate=replicate)
     sentences = split_sentences(pages)
     # Fused infer→parse→align→explode: one Arrow crossing (see
@@ -80,8 +83,9 @@ def build_pipeline(
         carry=("text",) if with_verify else ()).persist()
     mentions = base_mentions
     if with_verify:
-        mentions = verify_types(base_mentions).withColumn(
-            "type", F.col("type_final")).drop(
+        mentions = verify_types(
+            base_mentions, resolve_disputes=resolve_disputes,
+        ).withColumn("type", F.col("type_final")).drop(
             "type_verified", "type_final", "text")
     aliases = linking.alias_df(spark)
     linked = linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link)

@@ -115,3 +115,16 @@ def test_span_f1_runs_one_inference_stage(spark, sf_dir):
     assert plan.count("MapInPandas") == plan.count("InMemoryRelation") > 0
     ids = set(re.findall(r"MapInPandas (fused\(.*?\)#\d+)", plan))
     assert len(ids) == 1, ids
+
+
+def test_bucketed_similarity_joins_are_equi_joins(spark, sf_dir):
+    """The LSH candidate restrictions must plan as (table, bucket)
+    equi-joins — never a cartesian/broadcast-nested-loop blowup. The
+    brute-force cosine_topk is the ONLY operator allowed a BNLJ (it
+    is the documented small-query-set baseline)."""
+    from promptner_spark.plans.queries import QUERIES
+
+    for name in ("q_embdup_lsh", "q_knn_lsh"):
+        plan = _plan(QUERIES[name](spark, sf_dir), mode="simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
