@@ -200,6 +200,124 @@ def embedding_near_dup_pairs(
     )
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 — index-ordered fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _l2_normalize(vec: Column) -> Column:
+    n = l2norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over L2-normalized vectors →
+    (centroid_id, centroid array<double>).
+
+    - init: the ``n_centroids`` vectors with the smallest
+      xxhash64(id) — a seedless deterministic sample, stable across
+      cluster sizes;
+    - assign: one join against the BROADCAST centroid table (the
+      standard IVF pattern — centroids are k×dim, megabytes even at
+      k=65k), nearest by squared L2 with centroid-id tiebreak via a
+      struct-min aggregate (no window);
+    - update: per-dimension mean via posexplode → groupBy(centroid,
+      dim) → re-assembled with sort_array (two bounded shuffles per
+      iteration; empty clusters keep their previous centroid)."""
+    norm = embeddings.select(
+        F.col(id_col).alias("id"),
+        _l2_normalize(F.col(vec_col)).alias("v"))
+    centroids = (
+        norm.orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+        .limit(n_centroids).select("id", "v")
+        .withColumn("cid", F.row_number().over(
+            Window.orderBy(F.xxhash64(F.col("id").cast("string")), "id")) - 1)
+        .select("cid", F.col("v").alias("centroid"))
+    )
+    for _ in range(n_iter):
+        assigned = (
+            norm.join(F.broadcast(centroids))
+            .select("id", "v",
+                    F.struct(_sq_dist(F.col("v"), F.col("centroid"))
+                             .alias("d"), F.col("cid").alias("cid"))
+                    .alias("dc"))
+            .groupBy("id", "v").agg(F.min("dc").alias("best"))
+            .select("id", "v", F.col("best.cid").alias("cid"))
+        )
+        dims = assigned.select(
+            "cid", F.posexplode("v").alias("dim", "x"))
+        means = dims.groupBy("cid", "dim").agg(F.avg("x").alias("m"))
+        updated = means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"]).alias("centroid"))
+        # empty clusters keep their previous centroid
+        kept = centroids.join(updated.select("cid"), "cid", "left_anti")
+        centroids = updated.unionByName(kept).localCheckpoint(eager=True)
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k (the inverted-file ANN scale path): a
+    deterministic k-means coarse quantizer partitions the corpus into
+    ``n_centroids`` lists; each query probes its ``nprobe`` nearest
+    lists and ranks candidates by exact cosine. The candidate
+    restriction is an equi-join on ``cid`` — corpus work per query
+    drops to ~nprobe/n_centroids of brute force, and the list
+    assignment is itself reusable as a materialized index table.
+    Output: (query_id, rank, neighbor_id, sim)."""
+    centroids = kmeans_centroids(embeddings, n_centroids, n_iter,
+                                 id_col, vec_col)
+
+    def assign(df: DataFrame, out_id: str, n_lists: int) -> DataFrame:
+        w_rank = F.row_number().over(
+            Window.partitionBy("id").orderBy("d", "cid"))
+        return (
+            df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("vec"),
+                      _l2_normalize(F.col(vec_col)).alias("nv"))
+            .join(F.broadcast(centroids))
+            .select("id", "vec", "cid",
+                    _sq_dist(F.col("nv"), F.col("centroid")).alias("d"))
+            .withColumn("rk", w_rank).where(F.col("rk") <= n_lists)
+            .select(F.col("id").alias(out_id),
+                    F.col("vec").alias(f"{out_id}_vec"), "cid")
+        )
+
+    lists = assign(embeddings, "neighbor_id", 1)
+    probes = assign(queries, "query_id", nprobe)
+    scored = (
+        lists.join(probes, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id",
+                cosine(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+                .alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
 def embedding_near_pairs(embeddings: DataFrame, min_sim: float = 0.95,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

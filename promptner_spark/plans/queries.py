@@ -686,6 +686,21 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank <= {_KNN_K}"""
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (rows-only: the 2-iteration Lloyd
+    quantizer has no workable SQL closed form; output is nonetheless
+    deterministic — seedless hash init, struct-min assignment — and
+    recall vs exact q_knn is gated in pytest)."""
+    e = _emb(spark, sf_dir)
+    out = similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < _KNN_QUERIES), k=_KNN_K,
+        n_centroids=8, nprobe=4, n_iter=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"))
+
+
 _EMBDUP_N_PLANES, _EMBDUP_N_TABLES, _EMBDUP_MIN_SIM = 8, 4, 0.8
 _EMB_ORACLE_DIM = 64  # every testdata sf ships dim-64 embeddings
 
@@ -1009,6 +1024,7 @@ QUERIES = {
     "q_components": q_components,
     "q_knn": q_knn,
     "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf": q_knn_ivf,
     "q_embdup": q_embdup,
     "q_embdup_lsh": q_embdup_lsh,
     "q_pricing": q_pricing,
@@ -1049,5 +1065,6 @@ ORACLE_SQL = {
     "q_events": _sql_events(),
     "q_verified_mentions": _sql_mentions(),
     "q_disputed_mentions": _sql_mentions(),
-    # q_pipeline_triples, q_media_features: rows-only (no SQL closed form)
+    # q_pipeline_triples, q_media_features, q_knn_ivf: rows-only (no SQL
+    # closed form: multiword alignment / codec / iterative quantizer)
 }

@@ -134,3 +134,30 @@ def test_embedding_near_dup_lsh_recall(spark, sf_dir):
     assert got <= brute, "false positive: verify must be exact"
     recall = len(got & brute) / len(brute)
     assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    """IVF coarse-quantizer ANN: recall vs brute force above the
+    random baseline, deterministic across runs, candidates restricted
+    to probed lists (no cross join — plan check)."""
+    from promptner_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = _topk_sets(cosine_topk(emb, queries, k=5))
+
+    a = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4, n_iter=2)
+    plan = a._jdf.queryExecution().explainString(
+        a.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    assert "CartesianProduct" not in plan
+    got = _topk_sets(a)
+    recalls = [len(got.get(q, set()) & g) / len(g) for q, g in exact.items()]
+    recall = sum(recalls) / len(recalls)
+    # probing half the lists of a coarse 8-way quantizer: well above
+    # the nprobe/n_centroids=0.5 random-candidate baseline
+    assert recall >= 0.6, f"recall {recall:.2f}"
+
+    again = _topk_sets(ivf_topk(emb, queries, k=5, n_centroids=8,
+                                nprobe=4, n_iter=2))
+    assert got == again  # deterministic quantizer + ranking
