@@ -20,9 +20,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-# One Arrow batch == one model micro-batch in the inference UDF; keeping
-# them equal means no re-batching python-side (SURVEY.md §4.2).
-ARROW_BATCH_ROWS = 512
+# One Arrow batch == one Backend.generate() call in the inference UDF;
+# no re-batching python-side (SURVEY.md §4.2). 4096 over 512 cut the
+# fused extraction stage ~20% at local[16] (per-batch Arrow IPC +
+# pandas construction overhead amortizes; the rows are one-sentence
+# strings, so even 4096 rows is ~1 MB per batch). Real model adapters
+# fan the list out into per-request calls internally (operators/
+# model.py), so the Arrow batch size is an IPC-efficiency knob, not a
+# request-size commitment.
+ARROW_BATCH_ROWS = 4096
 
 
 def build_session(
