@@ -7,7 +7,7 @@ in this sandbox, per driver instruction): the flagship KG pipeline
 (pages → fused mention extraction → vocabulary-level linking →
 canonicalization → triples) runs on the SAME deterministic input at
 local[4] and local[16] (4× the cores). The input is the sf documents
-corpus replicated ×$SPARK_GRAFT_BENCH_REPLICATE (default 256,
+corpus replicated ×$SPARK_GRAFT_BENCH_REPLICATE (default 192,
 deterministic doc_id/url remapping — see sources/pages.py) so the
 measurement is compute-dominated, not fixed-overhead-dominated.
 
@@ -16,13 +16,14 @@ full numbers in BENCH/BASELINE.md):
 
 - The 4→16 pair: neither level oversubscribes the 32-core box
   (local[16] = 16 JVM task threads + 16 Python UDF workers).
-- TWO untimed warm-up runs of the SAME heavy plan shape before
+- An untimed warm-up run of the SAME heavy plan shape before
   timing: the first execution of the replicated plan in a fresh JVM
   is 3-10× slower than steady state (heap growth + C2 JIT tiering of
   the generated whole-stage code — measured 2141 vs ~230 core-s for
-  an identical stage), and the second is often still ~30% off. A
-  replicate=1 warm-up does NOT warm the replicated plan's generated
-  classes (different explode literal ⇒ different codegen).
+  an identical stage). A replicate=1 warm-up does NOT warm the
+  replicated plan's generated classes (different explode literal ⇒
+  different codegen); best-of-3 absorbs the residual ~30% second-run
+  tail.
 - ``-Xms`` pinned to the full heap so page-fault/commit cost of heap
   growth lands in warm-up, not in a timed run.
 - Shuffle dirs on /dev/shm when available: on one box the shared
@@ -50,7 +51,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
-REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "256"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "192"))
 
 
 def _fast_local_dir() -> str | None:
@@ -78,6 +79,9 @@ HEADLINE = [
     "q_textstats",          # text quality/langid/token analytics
     "q_pricing",            # TPC-H-ish Q1 aggregation
     "q_top_orders",         # TPC-H-ish Q3-like join+topk
+    "q_predicates",         # lexical predicate-triple extraction
+    "q_pagerank",           # iterative PageRank over the entity graph
+    "q_pmi",                # PMI edge weighting
 ]
 
 
@@ -102,8 +106,7 @@ def run():
     res = build_pipeline(spark, {sf_dir!r}, replicate={replicate})
     res.triples.write.format("noop").mode("overwrite").save()
     res.unpersist()
-for _ in range(2):   # warm the HEAVY plan shape (see module docstring)
-    run()
+run()   # warm the HEAVY plan shape (see module docstring)
 best = float("inf")
 for _ in range(3):
     t0 = time.time()
@@ -134,10 +137,9 @@ def run():
                .alias("v"))
        .groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("m"))
        .write.format("noop").mode("overwrite").save())
-for _ in range(2):   # same warm-up discipline as the pipeline probe
-    run()
+run()   # same warm-up discipline as the pipeline probe
 best = float("inf")
-for _ in range(3):
+for _ in range(2):
     t0 = time.time()
     run()
     best = min(best, time.time() - t0)
@@ -176,7 +178,7 @@ def _pipeline_throughput(cores: int, sf_dir: str, replicate: int,
     JVM per process, so measuring both levels in-process would hand the
     second session a pre-aged heap (and the first session's
     driver-memory). Fresh process = fresh JVM = fair comparison.
-    Within the process: two same-shape heavy warm-ups, then best-of-3
+    Within the process: one same-shape heavy warm-up, then best-of-3
     timed runs (see module docstring for why)."""
     script = _SCALE_SCRIPT.format(
         repo=os.path.dirname(os.path.abspath(__file__)),
@@ -221,9 +223,15 @@ def main() -> None:
         for name in HEADLINE:
             if name not in QUERIES:
                 continue
-            t0 = time.time()
-            _materialize(QUERIES[name](spark, SF_DIR))
-            dt = round(time.time() - t0, 3)
+            # best-of-2: a one-shot number folds first-execution JIT/
+            # codegen of that query's generated classes into the
+            # measurement (observed 3-4x one-shot swings on this host)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _materialize(QUERIES[name](spark, SF_DIR))
+                best = min(best, time.time() - t0)
+            dt = round(best, 3)
             queries[name] = dt
             total += dt
     finally:
@@ -245,7 +253,7 @@ def main() -> None:
             "scaling_efficiency": round(efficiency, 3),
             "hw_ceiling_efficiency": round(hw_ceiling, 3),
             "note": (f"{SCALE_LO}->{SCALE_HI} cores, no oversubscription "
-                     "at either level; 2 same-shape heavy warm-ups + "
+                     "at either level; 1 same-shape heavy warm-up + "
                      "best-of-3 per level in a fresh pre-sized JVM, "
                      "tmpfs shuffle dirs (per-node-NVMe stand-in). "
                      "hw_ceiling_efficiency is the same measurement for "

@@ -102,3 +102,61 @@ def triple_counts(triples: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_sents"),
         F.countDistinct("url").alias("n_docs"),
     )
+
+
+def predicate_triples(
+    mentions: DataFrame,
+    name_col: str = "surface",
+    max_gap: int = 3,
+    connector_vocab: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Surface-pattern predicate extraction (ReVerb-style, lexical):
+    for each pair of POSITIONALLY ADJACENT mentions in a sentence, the
+    tokens strictly between them become the predicate when the gap is
+    1..``max_gap`` tokens — emitting ``(subj, connector, obj)`` with
+    real lexical predicates instead of the generic ``cooccurs_with``.
+
+    Input must carry (url, sent_id, begin, end, <name_col>, text) —
+    the fused extractor's ``carry=("text",)`` provides text without a
+    join. ``connector_vocab`` optionally restricts predicates to a
+    closed relation lexicon (a POS gate would slot in the same place
+    for a natural corpus).
+
+    Plan shape: ONE shuffle — groupBy(sentence) collects the mention
+    structs, array_sort orders them by position in-row, and the
+    adjacent-pair + token-slice generation is pure codegen'd array
+    work (transform/filter/slice); fanout is bounded by per-sentence
+    mention count. Same scale discipline as :func:`emit_triples`."""
+    ents = mentions.groupBy("url", "sent_id", "text").agg(
+        F.array_sort(
+            F.collect_list(F.struct("begin", "end",
+                                    F.col(name_col).alias("name")))
+        ).alias("ms"))
+    toks = F.split(F.col("text"), " ")
+    n = F.size("ms")
+    adj = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(F.element_at(F.col("ms"), i).alias("a"),
+                               F.element_at(F.col("ms"), i + 1).alias("b")),
+        ),
+        lambda p: (p["b"]["begin"] - p["a"]["end"] >= 1)
+        & (p["b"]["begin"] - p["a"]["end"] <= max_gap),
+    )
+    out = (
+        ents.where(n >= 2)
+        .select("url", F.col("sent_id").cast("int").alias("sent_id"),
+                toks.alias("toks"), F.explode(adj).alias("p"))
+        .select(
+            F.col("p.a.name").alias("subj"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("p.a.end") + 1,
+                        F.col("p.b.begin") - F.col("p.a.end")),
+                "_").alias("pred"),
+            F.col("p.b.name").alias("obj"),
+            "url", "sent_id",
+        )
+    )
+    if connector_vocab is not None:
+        out = out.where(F.col("pred").isin(*connector_vocab))
+    return out

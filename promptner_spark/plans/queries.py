@@ -1001,6 +1001,129 @@ SELECT surface AS surface_norm, count(*) AS n_mentions,
 FROM mentions GROUP BY surface"""
 
 
+# ------------------------------------------------- predicate extraction
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical predicate triples: adjacent oracle-gazetteer mentions
+    with a 1..3-token connector between them; the connector IS the
+    predicate (triples_op.predicate_triples). Aggregated per triple."""
+    m = _oracle_mentions(spark, sf_dir, carry=("text",))
+    pt = triples_op.predicate_triples(m, name_col="surface", max_gap=3)
+    return pt.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_sents"),
+        F.countDistinct("url").alias("n_docs"))
+
+
+def _sql_predicates(max_gap: int = 3) -> str:
+    # Adjacency: no third mention strictly between a and b; gap tokens
+    # are 0-based [a.end, b.begin) = 1-based [begin_pos+2, b.begin_pos]
+    # (single-word oracle mentions: end = begin_pos + 1).
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()}, {_sql_mentions_cte()},
+adj AS (
+  SELECT a.url, a.surface AS s_a, a.begin_pos AS b_a,
+         b.surface AS s_b, b.begin_pos AS b_b
+  FROM mentions a JOIN mentions b
+    ON a.url = b.url AND b.begin_pos > a.begin_pos
+  WHERE NOT EXISTS (
+      SELECT 1 FROM mentions c
+      WHERE c.url = a.url AND c.begin_pos > a.begin_pos
+        AND c.begin_pos < b.begin_pos)
+    AND b.begin_pos - a.begin_pos - 1 BETWEEN 1 AND {max_gap}),
+pt AS (
+  SELECT s_a AS subj,
+         array_to_string(list_slice(string_split(p.text, ' '),
+                                    b_a + 2, b_b), '_') AS pred,
+         s_b AS obj, adj.url
+  FROM adj JOIN pages p ON adj.url = p.url)
+SELECT subj, pred, obj, count(*) AS n_sents,
+       count(DISTINCT url) AS n_docs
+FROM pt GROUP BY 1, 2, 3"""
+
+
+# ------------------------------------------------------- graph analytics
+_SQL_ENTS_CTE = """ents AS (
+  SELECT DISTINCT m.url, a.canonical_name AS entity_name
+  FROM mentions m JOIN aliases a ON m.surface = a.alias_norm)"""
+
+
+def _doc_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _oracle_mentions(spark, sf_dir)
+    linked = linking.link_exact(m, linking.alias_df(spark))
+    return (linked.where(F.col("entity_id").isNotNull())
+            .select("url", F.col("canonical_name").alias("entity_name"))
+            .distinct())
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the doc-co-occurrence entity
+    graph (operators/graph_analytics.py). Per-iteration round(·, 9)
+    pins the float trajectory so DuckDB replays it bit-for-bit (the
+    only nondeterminism is summation order; 9 dp absorbs it)."""
+    from ..operators.graph_analytics import pagerank
+    ents = _doc_entities(spark, sf_dir)
+    a, b = ents.alias("a"), ents.alias("b")
+    edges = (a.join(b, "url")
+             .where(F.col("a.entity_name") < F.col("b.entity_name"))
+             .select(F.col("a.entity_name").alias("src"),
+                     F.col("b.entity_name").alias("dst"))
+             .distinct())
+    return pagerank(edges, n_iter=4, damping=0.85)
+
+
+def _sql_pagerank(n_iter: int = 4, damping: float = 0.85) -> str:
+    base = repr(1.0 - damping)   # the exact double Spark computes
+    steps, prev = [], "pr0"
+    for i in range(1, n_iter + 1):
+        steps.append(f"""pr{i} AS (
+  SELECT e.t AS node,
+         round({base}/(SELECT c FROM nn) + {damping!r}*sum(p.pr/d.deg), 9)
+           AS pr
+  FROM edges e JOIN {prev} p ON e.s = p.node JOIN deg d ON e.s = d.s
+  GROUP BY e.t)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()}, {_sql_mentions_cte()},
+{DUCKDB_ALIASES_CTE}, {_SQL_ENTS_CTE},
+e0 AS (
+  SELECT DISTINCT a.entity_name AS s, b.entity_name AS t
+  FROM ents a JOIN ents b
+    ON a.url = b.url AND a.entity_name < b.entity_name),
+edges AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+nn AS (SELECT count(*) AS c FROM deg),
+pr0 AS (SELECT s AS node, 1.0/(SELECT c FROM nn) AS pr FROM deg),
+{chain}
+SELECT node, round(pr, 6) AS pagerank FROM {prev}"""
+
+
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-weighted entity co-occurrence edges (pure int counts →
+    per-row float: exactly reproducible cross-engine)."""
+    from ..operators.graph_analytics import pmi_edges
+    return pmi_edges(_doc_entities(spark, sf_dir), min_docs=2)
+
+
+def _sql_pmi() -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()}, {_sql_mentions_cte()},
+{DUCKDB_ALIASES_CTE}, {_SQL_ENTS_CTE},
+tot AS (SELECT count(DISTINCT url) AS c FROM ents),
+marg AS (SELECT entity_name, count(*) AS c FROM ents GROUP BY 1),
+pairs AS (
+  SELECT a.entity_name AS subj, b.entity_name AS obj,
+         count(*) AS n_docs
+  FROM ents a JOIN ents b
+    ON a.url = b.url AND a.entity_name < b.entity_name
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.subj, p.obj, p.n_docs,
+       round(ln((CAST(p.n_docs AS DOUBLE) * (SELECT c FROM tot))
+                / (CAST(ma.c AS DOUBLE) * mb.c)), 6) AS pmi
+FROM pairs p
+JOIN marg ma ON ma.entity_name = p.subj
+JOIN marg mb ON mb.entity_name = p.obj"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES = {
     "q_hot_surfaces": q_hot_surfaces,
@@ -1034,6 +1157,9 @@ QUERIES = {
     "q_pipeline_triples": q_pipeline_triples,
     "q_verified_mentions": q_verified_mentions,
     "q_disputed_mentions": q_disputed_mentions,
+    "q_predicates": q_predicates,
+    "q_pagerank": q_pagerank,
+    "q_pmi": q_pmi,
 }
 
 ORACLE_SQL = {
@@ -1065,6 +1191,9 @@ ORACLE_SQL = {
     "q_events": _sql_events(),
     "q_verified_mentions": _sql_mentions(),
     "q_disputed_mentions": _sql_mentions(),
+    "q_predicates": _sql_predicates(),
+    "q_pagerank": _sql_pagerank(),
+    "q_pmi": _sql_pmi(),
     # q_pipeline_triples, q_media_features, q_knn_ivf: rows-only (no SQL
     # closed form: multiword alignment / codec / iterative quantizer)
 }

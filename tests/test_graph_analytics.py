@@ -1,0 +1,106 @@
+"""Graph analytics + predicate extraction operators, pinned on
+hand-checkable inputs (the driver queries cross-check the same
+operators value-exactly against DuckDB at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_predicate_triples_adjacent_pairs_and_gap(spark):
+    from promptner_spark.operators.triples import predicate_triples
+
+    # tokens:   0     1    2     3    4      5     6
+    text = "spark reads the table from stream now"
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, 1, "spark", text),
+         ("u", 0, 3, 4, "table", text),
+         ("u", 0, 5, 6, "stream", text)],
+        "url string, sent_id int, begin int, end int, surface string, "
+        "text string")
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in predicate_triples(mentions, max_gap=3).collect()}
+    # adjacent pairs only: (spark, table) gap 2; (table, stream) gap 1;
+    # (spark, stream) is NOT adjacent (table lies between) — absent
+    assert got == {("spark", "reads_the", "table"),
+                   ("table", "from", "stream")}
+
+
+def test_predicate_triples_gap_and_vocab_limits(spark):
+    from promptner_spark.operators.triples import predicate_triples
+
+    text = "spark a b c d table uses stream"
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, 1, "spark", text),
+         ("u", 0, 5, 6, "table", text),
+         ("u", 0, 7, 8, "stream", text)],
+        "url string, sent_id int, begin int, end int, surface string, "
+        "text string")
+    # gap 4 > max_gap=3 → (spark, table) dropped; (table, stream) kept
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in predicate_triples(mentions, max_gap=3).collect()}
+    assert got == {("table", "uses", "stream")}
+    # connector vocabulary filter
+    none = predicate_triples(mentions, max_gap=3,
+                             connector_vocab=("reads",)).count()
+    assert none == 0
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from promptner_spark.operators.graph_analytics import pagerank
+
+    # path graph a - b - c (undirected)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank(edges, n_iter=4, damping=0.85).collect()}
+
+    # reference: plain-python power iteration with the operator's
+    # exact per-step rounding
+    pr = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    deg = {"a": 1, "b": 2, "c": 1}
+    nbrs = {"a": ["b"], "b": ["a", "c"], "c": ["b"]}
+    for _ in range(4):
+        pr = {v: round((1 - 0.85) / 3
+                       + 0.85 * sum(pr[u] / deg[u] for u in nbrs[v]), 9)
+              for v in pr}
+    want = {v: round(p, 6) for v, p in pr.items()}
+    assert got == want
+    # center of the path must dominate
+    assert got["b"] > got["a"] == got["c"]
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pmi_edges_hand_computed(spark):
+    import math
+
+    from promptner_spark.operators.graph_analytics import pmi_edges
+
+    # 4 docs: (x,y) together twice, x alone once, y alone once
+    ents = spark.createDataFrame(
+        [("d1", "x"), ("d1", "y"),
+         ("d2", "x"), ("d2", "y"),
+         ("d3", "x"), ("d4", "y")],
+        "url string, entity_name string")
+    rows = pmi_edges(ents, min_docs=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["subj"], r["obj"], r["n_docs"]) == ("x", "y", 2)
+    # pmi = ln( (2/4) / ((3/4)*(3/4)) ) = ln(8/9)
+    assert r["pmi"] == pytest.approx(round(math.log((2 * 4) / (3 * 3)), 6))
+
+
+def test_pagerank_independent_of_partitioning(spark):
+    """North-rule determinism: same result at different parallelism
+    (the per-iteration rounding pins the trajectory)."""
+    from promptner_spark.operators.graph_analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string")
+    one = {(r["node"], r["pagerank"])
+           for r in pagerank(edges.coalesce(1), n_iter=4).collect()}
+    many = {(r["node"], r["pagerank"])
+            for r in pagerank(edges.repartition(7), n_iter=4).collect()}
+    assert one == many
