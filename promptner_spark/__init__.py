@@ -48,6 +48,14 @@ _EXPORTS = {
     "GazetteerBackend": ("promptner_spark.operators.model",
                          "GazetteerBackend"),
     "Quick": ("promptner_spark.quick", "Quick"),
+    "pagerank": ("promptner_spark.operators.graph_analytics", "pagerank"),
+    "pmi_edges": ("promptner_spark.operators.graph_analytics", "pmi_edges"),
+    "predicate_triples": ("promptner_spark.operators.triples",
+                          "predicate_triples"),
+    "stream_dedup_first_seen": ("promptner_spark.streaming.stateful",
+                                "stream_dedup_first_seen"),
+    "stream_entity_cards": ("promptner_spark.streaming.stateful",
+                            "stream_entity_cards"),
 }
 
 

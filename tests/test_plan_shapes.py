@@ -128,3 +128,30 @@ def test_bucketed_similarity_joins_are_equi_joins(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir), mode="simple")
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pmi_marginals_are_broadcast(spark, sf_dir):
+    """pmi_edges joins the (vocabulary-sized) marginal counts back
+    onto the pair table via broadcast — the pair relation must never
+    be re-shuffled on entity name for them."""
+    from promptner_spark.plans.queries import q_pmi
+
+    plan = _plan(q_pmi(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin [subj" not in plan
+    assert "SortMergeJoin [obj" not in plan
+
+
+def test_predicate_triples_single_exchange(spark):
+    """predicate_triples is one groupBy: exactly one shuffle exchange
+    above the input; pair generation + token slicing stay in-row."""
+    from promptner_spark.operators.triples import predicate_triples
+
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, 1, "spark", "spark reads the table")],
+        "url string, sent_id int, begin int, end int, surface string, "
+        "text string")
+    plan = _plan(predicate_triples(mentions), mode="simple")
+    # one hashpartitioning exchange (the groupBy); no join at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
