@@ -48,6 +48,9 @@ def pagerank(
         sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()
+    if n == 0:   # empty graph: empty result, not a division by zero
+        return deg.select(F.col("s").alias("node"),
+                          F.lit(0.0).alias("pagerank"))
     pr = deg.select(F.col("s").alias("node"),
                     F.lit(1.0 / n).alias("pr"))
     base = (1.0 - damping) / n
@@ -75,7 +78,7 @@ def pmi_edges(doc_entities: DataFrame, min_docs: int = 2) -> DataFrame:
     keyed on url (fine-grained — bounded by per-doc entity count, no
     hub key); both marginal joins broadcast (vocabulary-sized)."""
     ents = doc_entities.select("url", "entity_name").distinct()
-    total = ents.select("url").distinct().count()
+    total = max(ents.select("url").distinct().count(), 1)
     marg = ents.groupBy("entity_name").agg(
         F.count(F.lit(1)).alias("c_single"))
     a, b = ents.alias("a"), ents.alias("b")

@@ -91,6 +91,21 @@ def test_pmi_edges_hand_computed(spark):
     assert r["pmi"] == pytest.approx(round(math.log((2 * 4) / (3 * 3)), 6))
 
 
+def test_empty_inputs_yield_empty_outputs(spark):
+    from promptner_spark.operators.graph_analytics import pagerank, pmi_edges
+    from promptner_spark.operators.triples import predicate_triples
+
+    no_edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(no_edges).count() == 0
+    no_ents = spark.createDataFrame([], "url string, entity_name string")
+    assert pmi_edges(no_ents).count() == 0
+    lone = spark.createDataFrame(
+        [("u", 0, 0, 1, "spark", "spark only")],
+        "url string, sent_id int, begin int, end int, surface string, "
+        "text string")
+    assert predicate_triples(lone).count() == 0
+
+
 def test_pagerank_independent_of_partitioning(spark):
     """North-rule determinism: same result at different parallelism
     (the per-iteration rounding pins the trajectory)."""
