@@ -117,6 +117,48 @@ def link_fuzzy_candidates(
     )
 
 
+def fuzzy_surface_pairs(
+    vocab: DataFrame,
+    col: str = "m_norm",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Surface-to-surface near-duplicate pairs within a vocabulary:
+    char-shingle MinHash band buckets → bounded-fanout band self-join
+    → exact Jaccard verify. Output (surf_a < surf_b, jaccard).
+
+    This is the candidate generator for NIL co-reference
+    (:func:`~promptner_spark.operators.triples.nil_components`): the
+    input is the DISTINCT surface vocabulary, never the mention
+    stream, so the whole computation is O(vocab) (Zipf: orders of
+    magnitude below the corpus). ``portable=True`` switches to the
+    md5 hash family a DuckDB oracle can replay; the default xxhash64
+    family is the production path (same firewall as fuzzy linking)."""
+    from ..functions.hashing import fast_minhash_bands, minhash_bands
+
+    bands_fn = minhash_bands if portable else fast_minhash_bands
+    sh = char_shingles(F.col(col), shingle_k)
+    b = vocab.select(
+        F.col(col).alias("surf"),
+        F.posexplode(bands_fn(sh, n_hashes, band_size))
+        .alias("band_id", "digest"))
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(y, ["band_id", "digest"])
+        .where(F.col("x.surf") < F.col("y.surf"))
+        .select(F.col("x.surf").alias("surf_a"),
+                F.col("y.surf").alias("surf_b"))
+        .dropDuplicates(["surf_a", "surf_b"])
+    )
+    sim = jaccard(char_shingles(F.col("surf_a"), shingle_k),
+                  char_shingles(F.col("surf_b"), shingle_k))
+    return (cand.withColumn("jaccard", sim)
+            .where(F.col("jaccard") >= min_jaccard))
+
+
 def release_caches(df: DataFrame) -> None:
     """Unpersist every cache a linking builder attached to ``df``
     (see :func:`build_resolution`). Call when the result has been

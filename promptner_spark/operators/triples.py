@@ -28,26 +28,72 @@ PRED_COOCCUR = "cooccurs_with"
 NIL_ID_OFFSET = 1_000_000_000
 
 
-def canonicalize(linked: DataFrame) -> DataFrame:
+def nil_components(linked: DataFrame, min_jaccard: float = 0.5,
+                   shingle_k: int = 3,
+                   portable: bool = False) -> DataFrame:
+    """Cross-surface NIL co-reference (north_star "connected-components
+    canonicalization over the mention co-reference graph"): cluster
+    the NIL surface VOCABULARY by char-shingle similarity and map each
+    surface to its component representative (the component's minimum
+    surface — stable across cluster sizes).
+
+    Output: (m_norm, canonical_rep), one row per distinct NIL surface;
+    vocabulary-sized, so callers broadcast it back onto the mention
+    stream. Surfaces with no near-duplicate keep themselves."""
+    from .components import connected_components
+    from .linking import fuzzy_surface_pairs, norm_surface
+
+    nil_vocab = (linked.where(F.col("entity_id").isNull())
+                 .select(norm_surface(F.col("surface")).alias("m_norm"))
+                 .distinct())
+    pairs = fuzzy_surface_pairs(nil_vocab, col="m_norm",
+                                shingle_k=shingle_k,
+                                min_jaccard=min_jaccard,
+                                portable=portable)
+    comp = connected_components(
+        pairs.select(F.col("surf_a").alias("src"),
+                     F.col("surf_b").alias("dst")))
+    return (
+        nil_vocab.join(comp.withColumnRenamed("node", "m_norm"),
+                       "m_norm", "left")
+        .select("m_norm",
+                F.coalesce("component", "m_norm").alias("canonical_rep"))
+    )
+
+
+def canonicalize(linked: DataFrame, nil_merge: bool = False,
+                 min_jaccard: float = 0.5) -> DataFrame:
     """linked mention table → + canonical (entity_key, entity_name).
 
     Linked mentions use their alias entity. NIL mentions get a
     deterministic id from the normalized surface hash-space (same
-    surface ⇒ same id; cross-surface merging happens in
-    :func:`nil_components` when enabled).
-    """
+    surface ⇒ same id); with ``nil_merge`` near-duplicate NIL surfaces
+    are first merged by :func:`nil_components` (broadcast of the
+    vocabulary-sized representative map — the mention stream still
+    never shuffles)."""
     from ..functions.hashing import portable_hash
     from .linking import norm_surface
 
     nrm = norm_surface(F.col("surface"))
-    return linked.withColumn(
+    if nil_merge:
+        reps = nil_components(linked, min_jaccard=min_jaccard)
+        linked = linked.withColumn("__nrm", nrm).join(
+            F.broadcast(reps.withColumnRenamed("m_norm", "__nrm")),
+            "__nrm", "left")
+        canon_surface = F.coalesce(F.col("canonical_rep"), F.col("__nrm"))
+    else:
+        canon_surface = nrm
+    out = linked.withColumn(
         "entity_key",
         F.when(F.col("entity_id").isNotNull(), F.col("entity_id"))
-        .otherwise(NIL_ID_OFFSET + F.pmod(portable_hash(nrm), F.lit(NIL_ID_OFFSET))),
+        .otherwise(NIL_ID_OFFSET
+                   + F.pmod(portable_hash(canon_surface),
+                            F.lit(NIL_ID_OFFSET))),
     ).withColumn(
         "entity_name",
-        F.coalesce(F.col("canonical_name"), nrm),
+        F.coalesce(F.col("canonical_name"), canon_surface),
     )
+    return out.drop("__nrm", "canonical_rep") if nil_merge else out
 
 
 def nodes_table(canonical: DataFrame) -> DataFrame:

@@ -61,10 +61,13 @@ def build_pipeline(
     fuzzy_link: bool = True,
     replicate: int = 1,
     spec=None,
+    nil_merge: bool = False,
 ) -> PipelineResult:
     """Pure-DAG pipeline (no materialization). ``resolve_disputes``
     (with ``with_verify``) enables the C8 third-query resolution in
-    the fused verification pass."""
+    the fused verification pass; ``nil_merge`` additionally merges
+    near-duplicate NIL surfaces by connected components before
+    canonicalization (operators/triples.py::nil_components)."""
     pages = pages_with_extracted_text(spark, sf_dir, replicate=replicate)
     sentences = split_sentences(pages)
     # Fused infer→parse→align→explode: one Arrow crossing (see
@@ -97,7 +100,7 @@ def build_pipeline(
     # broadcast join — cheaper than writing a second 10^7-row cache
     # (measured ~10% pipeline win). Callers materializing several
     # outputs repeatedly should use run_pipeline, which checkpoints.
-    canonical = triples_op.canonicalize(linked)
+    canonical = triples_op.canonicalize(linked, nil_merge=nil_merge)
     nodes = triples_op.nodes_table(canonical)
     trips = triples_op.emit_triples(canonical)
     counts = triples_op.triple_counts(trips)

@@ -1001,6 +1001,85 @@ SELECT surface AS surface_norm, count(*) AS n_mentions,
 FROM mentions GROUP BY surface"""
 
 
+# ----------------------------------------------- NIL co-reference merge
+def q_nil_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star NIL canonicalization end-to-end: the corpus token
+    vocabulary augmented with plural variants (every token gains a
+    near-duplicate) is clustered by triples_op.nil_components —
+    char-shingle MinHash bands → band self-join → Jaccard verify →
+    connected components → per-surface representative. The DuckDB
+    oracle replays the hash family, banding, verify and the component
+    walk exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("t")).distinct()
+    vocab = toks.select("t").unionByName(
+        toks.select(F.concat(F.col("t"), F.lit("s")).alias("t"))).distinct()
+    fake_linked = vocab.select(
+        F.col("t").alias("surface"),
+        F.lit(None).cast("long").alias("entity_id"))
+    reps = triples_op.nil_components(fake_linked, min_jaccard=0.5,
+                                     shingle_k=3, portable=True)
+    return reps.select(F.col("m_norm").alias("surface"), "canonical_rep")
+
+
+def _sql_char_shingles(s: str, k: int = 3) -> str:
+    return (f"(CASE WHEN length({s}) < {k} THEN [{s}] "
+            f"ELSE list_distinct(list_transform("
+            f"range(1, length({s}) - {k - 2}), "
+            f"i -> substr({s}, CAST(i AS INTEGER), {k}))) END)")
+
+
+def _sql_char_minhash_bands(n_hashes: int = 16,
+                            band_size: int = 4) -> list[str]:
+    # mirror of functions/hashing.py::minhash_bands (FULL portable
+    # hash per seed, unlike the dedup queries' half-digest variant)
+    sig = ["list_min(list_transform(sh, s -> "
+           + duckdb_portable_hash("s", seed=i) + "))"
+           for i in range(n_hashes)]
+    out = []
+    for b in range(n_hashes // band_size):
+        parts = sig[b * band_size:(b + 1) * band_size]
+        joined = ", ',', ".join(f"CAST({p} AS VARCHAR)" for p in parts)
+        out.append(f"md5(concat({joined}))")
+    return out
+
+
+def _sql_nil_merge() -> str:
+    bands_vals = ", ".join(
+        f"({i}, {b})" for i, b in enumerate(_sql_char_minhash_bands()))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS t FROM documents),
+vocab AS (SELECT t AS s FROM toks
+          UNION SELECT t || 's' FROM toks),
+sh AS (SELECT s, {_sql_char_shingles('s')} AS sh FROM vocab),
+bands AS (
+  SELECT s, band_id, digest
+  FROM sh, LATERAL (VALUES {bands_vals}) AS b(band_id, digest)),
+cand AS (
+  SELECT DISTINCT a.s AS surf_a, b.s AS surf_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.digest = b.digest AND a.s < b.s),
+edges AS (
+  SELECT c.surf_a AS src, c.surf_b AS dst
+  FROM cand c JOIN sh sa ON sa.s = c.surf_a
+              JOIN sh sb ON sb.s = c.surf_b
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        >= 0.5),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+walk AS (
+  WITH RECURSIVE w(node, reach) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT w.node, s.b FROM w JOIN sym s ON s.a = w.reach)
+  SELECT node, min(reach) AS component FROM w GROUP BY node)
+SELECT v.s AS surface, coalesce(walk.component, v.s) AS canonical_rep
+FROM vocab v LEFT JOIN walk ON walk.node = v.s"""
+
+
 # ------------------------------------------------- predicate extraction
 def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical predicate triples: adjacent oracle-gazetteer mentions
@@ -1160,6 +1239,7 @@ QUERIES = {
     "q_predicates": q_predicates,
     "q_pagerank": q_pagerank,
     "q_pmi": q_pmi,
+    "q_nil_merge": q_nil_merge,
 }
 
 ORACLE_SQL = {
@@ -1194,6 +1274,7 @@ ORACLE_SQL = {
     "q_predicates": _sql_predicates(),
     "q_pagerank": _sql_pagerank(),
     "q_pmi": _sql_pmi(),
+    "q_nil_merge": _sql_nil_merge(),
     # q_pipeline_triples, q_media_features, q_knn_ivf: rows-only (no SQL
     # closed form: multiword alignment / codec / iterative quantizer)
 }

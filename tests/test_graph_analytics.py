@@ -119,3 +119,37 @@ def test_pagerank_independent_of_partitioning(spark):
     many = {(r["node"], r["pagerank"])
             for r in pagerank(edges.repartition(7), n_iter=4).collect()}
     assert one == many
+
+
+def test_nil_components_merges_near_duplicate_surfaces(spark):
+    """North-star NIL canonicalization: near-duplicate NIL surfaces
+    collapse to one representative; linked mentions are untouched."""
+    from promptner_spark.operators.triples import canonicalize, nil_components
+
+    linked = spark.createDataFrame(
+        [("kafka", None, None),        # NIL cluster {kafka, kafkas}
+         ("kafkas", None, None),
+         ("zookeeper", None, None),    # NIL singleton
+         ("spark", 1, "Apache Spark")],
+        "surface string, entity_id long, canonical_name string")
+
+    reps = {r["m_norm"]: r["canonical_rep"]
+            for r in nil_components(linked).collect()}
+    assert reps == {"kafka": "kafka", "kafkas": "kafka",
+                    "zookeeper": "zookeeper"}
+
+    canon = canonicalize(linked, nil_merge=True).collect()
+    by_surface = {r["surface"]: r for r in canon}
+    # both kafka variants share ONE canonical entity (key and name)
+    assert (by_surface["kafka"]["entity_key"]
+            == by_surface["kafkas"]["entity_key"])
+    assert (by_surface["kafka"]["entity_name"]
+            == by_surface["kafkas"]["entity_name"] == "kafka")
+    # singleton keeps itself, linked mention keeps its alias entity
+    assert by_surface["zookeeper"]["entity_name"] == "zookeeper"
+    assert by_surface["spark"]["entity_name"] == "Apache Spark"
+    assert by_surface["spark"]["entity_key"] == 1
+    # nil_merge=False leaves the variants distinct (regression guard)
+    plain = {r["surface"]: r["entity_name"]
+             for r in canonicalize(linked).collect()}
+    assert plain["kafkas"] == "kafkas" != plain["kafka"]
