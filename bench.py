@@ -103,16 +103,23 @@ if local_dir:
 spark = build_session(cores={cores}, app_name="bench-scale{cores}",
                       extra_conf=extra)
 def run():
-    res = build_pipeline(spark, {sf_dir!r}, replicate={replicate})
+    # vocab_scale=replicate: replica texts are token-perturbed and the
+    # gazetteer/alias/entity space grows with the corpus, so the
+    # vocabulary-level KG stages (linking resolution, canonicalize,
+    # triple counting) carry replica-proportional data and distribute
+    # — as they would on a real Zipf corpus — instead of reading as
+    # ~8s of parallelism-independent fixed latency (r2 finding #4).
+    res = build_pipeline(spark, {sf_dir!r}, replicate={replicate},
+                         vocab_scale={replicate})
     res.triples.write.format("noop").mode("overwrite").save()
     res.unpersist()
 run()   # warm the HEAVY plan shape (see module docstring)
-best = float("inf")
+times = []
 for _ in range(3):
     t0 = time.time()
     run()
-    best = min(best, time.time() - t0)
-print("BENCH_SECONDS", best)
+    times.append(time.time() - t0)
+print("BENCH_TIMES", " ".join(f"{{t:.3f}}".format(t=t) for t in times))
 spark.stop()
 """
 
@@ -158,6 +165,24 @@ def _subprocess_seconds(script: str) -> float:
     return float(line.split()[1])
 
 
+def _subprocess_times(script: str) -> list[float]:
+    """All timed-run wall times from a BENCH_TIMES line (best AND
+    median are reported — the r2 advisor flagged best-only quoting)."""
+    import subprocess
+
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("BENCH_TIMES")][-1]
+    return [float(x) for x in line.split()[1:]]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def _hw_calibration(lo: int, hi: int) -> float:
     """Host scaling ceiling: the same PURE-JVM Spark job (hash+shuffle+
     agg, zero Python) at both parallelism levels. Whatever efficiency
@@ -172,20 +197,18 @@ def _hw_calibration(lo: int, hi: int) -> float:
     return (t_lo / t_hi) / (hi / lo)
 
 
-def _pipeline_throughput(cores: int, sf_dir: str, replicate: int,
-                         n_docs_base: int) -> tuple[float, float]:
+def _pipeline_times(cores: int, sf_dir: str, replicate: int) -> list[float]:
     """Each level runs in its OWN python subprocess: PySpark reuses one
     JVM per process, so measuring both levels in-process would hand the
     second session a pre-aged heap (and the first session's
     driver-memory). Fresh process = fresh JVM = fair comparison.
-    Within the process: one same-shape heavy warm-up, then best-of-3
-    timed runs (see module docstring for why)."""
+    Within the process: one same-shape heavy warm-up, then 3 timed
+    runs, ALL reported (see module docstring for why)."""
     script = _SCALE_SCRIPT.format(
         repo=os.path.dirname(os.path.abspath(__file__)),
         cores=cores, sf_dir=sf_dir, replicate=replicate,
         local_dir=_fast_local_dir())
-    best = _subprocess_seconds(script)
-    return best, n_docs_base * replicate / best
+    return _subprocess_times(script)
 
 
 def main() -> None:
@@ -197,11 +220,14 @@ def main() -> None:
     import duckdb
     n_docs_base = duckdb.sql(
         f"select count(*) from '{SF_DIR}/documents.parquet'").fetchone()[0]
-    t_lo, thr_lo = _pipeline_throughput(SCALE_LO, SF_DIR, REPLICATE,
-                                        n_docs_base)
-    t_hi, thr_hi = _pipeline_throughput(SCALE_HI, SF_DIR, REPLICATE,
-                                        n_docs_base)
+    times_lo = _pipeline_times(SCALE_LO, SF_DIR, REPLICATE)
+    times_hi = _pipeline_times(SCALE_HI, SF_DIR, REPLICATE)
+    t_lo, t_hi = min(times_lo), min(times_hi)
+    med_lo, med_hi = _median(times_lo), _median(times_hi)
+    thr_lo = n_docs_base * REPLICATE / t_lo
+    thr_hi = n_docs_base * REPLICATE / t_hi
     efficiency = (thr_hi / thr_lo) / (SCALE_HI / SCALE_LO)
+    efficiency_median = (med_lo / med_hi) / (SCALE_HI / SCALE_LO)
     hw_ceiling = _hw_calibration(SCALE_LO, SCALE_HI)
 
     extra = {"spark.driver.extraJavaOptions":
@@ -219,19 +245,22 @@ def main() -> None:
         _materialize(warm.triples)
         warm.unpersist()
         queries: dict[str, float] = {}
+        queries_runs: dict[str, list[float]] = {}
         total = 0.0
         for name in HEADLINE:
             if name not in QUERIES:
                 continue
-            # best-of-2: a one-shot number folds first-execution JIT/
-            # codegen of that query's generated classes into the
-            # measurement (observed 3-4x one-shot swings on this host)
-            best = float("inf")
+            # best-of-2, ALL runs recorded: a one-shot number folds
+            # first-execution JIT/codegen of that query's generated
+            # classes into the measurement (observed 3-4x one-shot
+            # swings on this host)
+            runs = []
             for _ in range(2):
                 t0 = time.time()
                 _materialize(QUERIES[name](spark, SF_DIR))
-                best = min(best, time.time() - t0)
-            dt = round(best, 3)
+                runs.append(round(time.time() - t0, 3))
+            queries_runs[name] = runs
+            dt = min(runs)
             queries[name] = dt
             total += dt
     finally:
@@ -242,24 +271,32 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "queries_runs": queries_runs,
         "sf": sf,
         "pipeline_scaling": {
             "n_docs": n_docs_base * REPLICATE,
             "replicate": REPLICATE,
+            "vocab_scaled": True,
             f"sec_local{SCALE_LO}": round(t_lo, 2),
             f"sec_local{SCALE_HI}": round(t_hi, 2),
+            f"runs_local{SCALE_LO}": [round(t, 2) for t in times_lo],
+            f"runs_local{SCALE_HI}": [round(t, 2) for t in times_hi],
             f"docs_per_sec_local{SCALE_LO}": round(thr_lo, 1),
             f"docs_per_sec_local{SCALE_HI}": round(thr_hi, 1),
             "scaling_efficiency": round(efficiency, 3),
+            "scaling_efficiency_median": round(efficiency_median, 3),
             "hw_ceiling_efficiency": round(hw_ceiling, 3),
             "note": (f"{SCALE_LO}->{SCALE_HI} cores, no oversubscription "
                      "at either level; 1 same-shape heavy warm-up + "
-                     "best-of-3 per level in a fresh pre-sized JVM, "
-                     "tmpfs shuffle dirs (per-node-NVMe stand-in). "
-                     "hw_ceiling_efficiency is the same measurement for "
-                     "a pure-JVM hash+shuffle+agg probe - the box's "
-                     "Spark scaling ceiling. Phase decomposition and "
-                     "variance analysis: BENCH/BASELINE.md."),
+                     "3 timed runs (all recorded) per level in a fresh "
+                     "pre-sized pre-touched JVM, tmpfs shuffle dirs "
+                     "(per-node-NVMe stand-in). Corpus is replicated "
+                     "WITH vocabulary perturbation so the KG stages "
+                     "scale like a Zipf corpus. hw_ceiling_efficiency "
+                     "is the same measurement for a pure-JVM "
+                     "hash+shuffle+agg probe - the box's Spark scaling "
+                     "ceiling. Phase decomposition and variance "
+                     "analysis: BENCH/BASELINE.md."),
         },
     }))
 

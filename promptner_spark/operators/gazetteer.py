@@ -77,6 +77,40 @@ DUCKDB_ALIASES_CTE = (
 )
 
 
+def scaled_gazetteer(n_variants: int) -> dict[str, str]:
+    """Vocabulary-scaled gazetteer for the scaling bench: every
+    single-word surface gains ``n_variants - 1`` suffixed variants
+    (``sparkv3``) matching the per-replica token perturbation of
+    ``sources/pages.py::synthesize_pages(perturb_vocab=True)``.
+
+    Replicating a corpus repeats its surfaces, so the vocabulary-level
+    KG stages (linking resolution, canonicalization, triple counting)
+    stay O(20) no matter the replicate factor and read as fixed
+    latency in a scaling measurement. A real web corpus's vocabulary
+    grows with the data (Zipf); this makes the synthetic one do the
+    same, so those stages carry replica-proportional data and
+    distribute. Multiword phrases stay unscaled (they exercise
+    alignment quirks, not vocabulary volume)."""
+    out = dict(GAZETTEER)
+    for r in range(1, n_variants):
+        for s, t in ORACLE_GAZETTEER.items():
+            out[f"{s}v{r}"] = t
+    return out
+
+
+def scaled_alias_rows(n_variants: int) -> list[tuple[str, int, str, float]]:
+    """Alias table matching :func:`scaled_gazetteer`: each variant
+    surface links to its own entity (distinct id + canonical name), so
+    the entity space — and therefore the distinct-triple space — also
+    scales ×n_variants."""
+    rows = list(ALIAS_ROWS)
+    base_single = [(a, i, n, p) for a, i, n, p in ALIAS_ROWS if " " not in a]
+    for r in range(1, n_variants):
+        for a, i, n, p in base_single:
+            rows.append((f"{a}v{r}", i + 1000 * r, f"{n} v{r}", p))
+    return rows
+
+
 def duckdb_gazetteer_cte(gaz: dict[str, str] | None = None) -> str:
     """The (single-word) gazetteer as a DuckDB VALUES CTE."""
     gaz = gaz if gaz is not None else ORACLE_GAZETTEER

@@ -9,7 +9,7 @@ Both are expressed as pure DataFrame plans:
   edge set. Each iteration is ONE join (contributions along edges) +
   ONE groupBy (sum per target) — both AQE-managed, hub skew handled
   the same way as every other hot-key agg here. Lineage is truncated
-  per iteration (localCheckpoint locally; at cluster scale the
+  every other iteration (localCheckpoint locally; at cluster scale the
   materialized iteration table). Per-iteration ``round(·, 9)`` pins
   the float trajectory so the result is reproducible bit-for-bit
   across engines and cluster sizes (summation order is the only
@@ -44,40 +44,74 @@ def pagerank(
     sym = e.unionByName(
         e.select(F.col("t").alias("s"), F.col("s").alias("t"))
     ).distinct()
-    if checkpoint:
-        sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.count()
+    # Degrees of BOTH endpoints ride on the adjacency table, attached
+    # once before the loop: each iteration is then ONE join (ranks
+    # onto sources) + ONE groupBy (sum per target) — the r2 version
+    # paid a second degree join per iteration. Checkpointed eagerly:
+    # it is the loop-invariant input of every iteration.
+    adj = (
+        sym.join(deg, "s")
+        .join(deg.select(F.col("s").alias("t"),
+                         F.col("deg").alias("deg_t")), "t")
+        .select("s", "t", F.col("deg").alias("deg_s"), "deg_t")
+    )
+    if checkpoint:
+        adj = adj.localCheckpoint(eager=True)
+    nodes = adj.select(F.col("t").alias("node"),
+                       F.col("deg_t").alias("deg")).distinct()
+    n = nodes.count()
     if n == 0:   # empty graph: empty result, not a division by zero
-        return deg.select(F.col("s").alias("node"),
-                          F.lit(0.0).alias("pagerank"))
-    pr = deg.select(F.col("s").alias("node"),
-                    F.lit(1.0 / n).alias("pr"))
+        return nodes.select("node", F.lit(0.0).alias("pagerank"))
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(n_iter):
-        contrib = (
-            sym.join(pr, sym["s"] == pr["node"])
-            .join(deg, "s")
-            .select(F.col("t").alias("node"),
-                    (F.col("pr") / F.col("deg")).alias("c"))
-        )
-        pr = contrib.groupBy("node").agg(
-            F.round(F.lit(base) + F.lit(damping) * F.sum("c"), 9)
-            .alias("pr"))
-        if checkpoint:
+    for i in range(n_iter):
+        contrib = adj.join(
+            pr.select("node", "pr"), adj["s"] == F.col("node")
+        ).select("t", "deg_t", (F.col("pr") / F.col("deg_s")).alias("c"))
+        # deg of the target rides through the groupBy key, so the new
+        # rank table already carries next iteration's divisor.
+        pr = contrib.groupBy(
+            F.col("t").alias("node"), F.col("deg_t").alias("deg")
+        ).agg(F.round(F.lit(base) + F.lit(damping) * F.sum("c"), 9)
+              .alias("pr"))
+        # Truncate lineage every OTHER iteration: one eager job per two
+        # iterations bounds plan growth without paying a
+        # materialization per step (r2 checkpointed every iteration).
+        if checkpoint and (i % 2 == 1 or i == n_iter - 1):
             pr = pr.localCheckpoint(eager=True)
     return pr.select("node", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
-def pmi_edges(doc_entities: DataFrame, min_docs: int = 2) -> DataFrame:
+def pmi_edges(doc_entities: DataFrame, min_docs: int = 2,
+              max_entities_per_doc: int | None = None) -> DataFrame:
     """(url, entity_name) distinct doc-entity incidence → PMI-weighted
     co-occurrence edges (subj < obj, n_docs, pmi).
 
     PMI = ln( (c_ab/T) / ((c_a/T)(c_b/T)) ) with doc-level counts;
     ``min_docs`` drops pairs too rare to score. The pair self-join is
     keyed on url (fine-grained — bounded by per-doc entity count, no
-    hub key); both marginal joins broadcast (vocabulary-sized)."""
-    ents = doc_entities.select("url", "entity_name").distinct()
+    hub key) — ``max_entities_per_doc`` enforces that bound: a hub
+    document listing 10⁴ entities would otherwise fan out 10⁸ pair
+    rows from one key. The cap keeps the per-doc top-N by mention
+    count when the input carries ``n_mentions`` (ties → entity_name
+    ascending), else the first N entity names — deterministic either
+    way, and a per-url window, so the filter itself cannot skew.
+    Both marginal joins broadcast (vocabulary-sized)."""
+    ents = doc_entities.select(
+        "url", "entity_name",
+        *(["n_mentions"] if "n_mentions" in doc_entities.columns else []),
+    ).distinct()
+    if max_entities_per_doc is not None:
+        from pyspark.sql import Window
+        order = ([F.desc("n_mentions")]
+                 if "n_mentions" in ents.columns else []) + [
+                     F.asc("entity_name")]
+        w = Window.partitionBy("url").orderBy(*order)
+        ents = (ents.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= max_entities_per_doc)
+                .drop("__rn"))
+    ents = ents.select("url", "entity_name").distinct()
     total = max(ents.select("url").distinct().count(), 1)
     marg = ents.groupBy("entity_name").agg(
         F.count(F.lit(1)).alias("c_single"))

@@ -34,7 +34,14 @@ def norm_surface(col: F.Column) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(col)), _PUNCT_CLASS, "")
 
 
-def alias_df(spark: SparkSession) -> DataFrame:
+def alias_df(spark: SparkSession, vocab_scale: int = 1) -> DataFrame:
+    """The alias dictionary; ``vocab_scale > 1`` swaps in the
+    vocabulary-scaled variant rows for the scaling bench
+    (operators/gazetteer.py::scaled_alias_rows)."""
+    if vocab_scale > 1:
+        from .gazetteer import scaled_alias_rows
+        return spark.createDataFrame(
+            scaled_alias_rows(vocab_scale), schema=schema.ALIASES)
     return spark.createDataFrame(ALIAS_ROWS, schema=schema.ALIASES)
 
 
@@ -189,6 +196,11 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
     # mention row (observed: ~1000× the intended hash work).
     vocab = mentions.select(
         norm_surface(F.col("surface")).alias("m_norm")).distinct().persist()
+    # Eager fill (one vocabulary-sized job): the cache feeds the exact,
+    # fuzzy and NIL branches, which Spark schedules as CONCURRENT
+    # stages — a lazy cache lets each of them recompute the distinct
+    # pass (and everything upstream of it) before any has filled it.
+    vocab.count()
     exact = vocab.join(F.broadcast(aliases),
                        vocab["m_norm"] == aliases["alias_norm"], "left")
     if not fuzzy:

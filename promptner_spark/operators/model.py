@@ -69,11 +69,19 @@ class GazetteerBackend:
 
     def __init__(self, gazetteer: dict[str, str] | None = None):
         self.gazetteer = gazetteer if gazetteer is not None else dict(GAZETTEER)
-        # precompute split forms once per instance (per executor task)
-        self._entries = [
-            (surface, surface.split(" "), gtype, order)
-            for order, (surface, gtype) in enumerate(self.gazetteer.items())
-        ]
+        # Precompute lookup structures once per instance (per executor
+        # task). Single-word surfaces go in a dict so extraction is
+        # O(sentence tokens), not O(gazetteer) — load-bearing for the
+        # vocabulary-scaled bench gazetteer (thousands of entries);
+        # only multiword phrases need the subsequence scan.
+        self._single: dict[str, tuple[str, int]] = {}
+        self._multi: list[tuple[str, list[str], str, int]] = []
+        for order, (surface, gtype) in enumerate(self.gazetteer.items()):
+            parts = surface.split(" ")
+            if len(parts) == 1:
+                self._single[surface] = (gtype, order)
+            else:
+                self._multi.append((surface, parts, gtype, order))
 
     def _first_subseq(self, tokens: list[str], phrase: list[str]) -> int:
         width = len(phrase)
@@ -85,11 +93,14 @@ class GazetteerBackend:
     def _extract(self, para: str) -> str:
         tokens = para.lower().split(" ")
         found: list[tuple[int, int, str, str]] = []
-        for surface, parts, gtype, order in self._entries:
-            if len(parts) == 1:
-                idx = tokens.index(surface) if surface in tokens else -1
-            else:
-                idx = self._first_subseq(tokens, parts)
+        seen: set[str] = set()
+        for idx, tok in enumerate(tokens):   # first occurrence per word
+            if tok not in seen and tok in self._single:
+                seen.add(tok)
+                gtype, order = self._single[tok]
+                found.append((idx, order, tok, gtype))
+        for surface, parts, gtype, order in self._multi:
+            idx = self._first_subseq(tokens, parts)
             if idx >= 0:
                 found.append((idx, order, surface, gtype))
         found.sort()

@@ -62,14 +62,46 @@ def build_pipeline(
     replicate: int = 1,
     spec=None,
     nil_merge: bool = False,
+    eager_cache: bool = True,
+    vocab_scale: int = 1,
 ) -> PipelineResult:
-    """Pure-DAG pipeline (no materialization). ``resolve_disputes``
-    (with ``with_verify``) enables the C8 third-query resolution in
-    the fused verification pass; ``nil_merge`` additionally merges
+    """Build the pipeline DAG. ``resolve_disputes`` (with
+    ``with_verify``) enables the C8 third-query resolution in the
+    fused verification pass; ``nil_merge`` additionally merges
     near-duplicate NIL surfaces by connected components before
-    canonicalization (operators/triples.py::nil_components)."""
-    pages = pages_with_extracted_text(spark, sf_dir, replicate=replicate)
+    canonicalization (operators/triples.py::nil_components).
+
+    ``eager_cache`` (default) fills the persisted mention cache with
+    one count() job at build time. This is load-bearing, not a
+    convenience: the cache feeds SEVERAL downstream plan branches
+    (linking hit+miss, nodes/triples/counts, the emit self-aggregate),
+    and Spark schedules those branches as independent concurrent
+    stages — a LAZY cache lets each concurrent stage recompute the
+    whole inference-UDF chain before any of them has filled it
+    (duplicate Python-worker work + 2-3× worker oversubscription;
+    measured on this box: the same query oscillates 7 s ↔ 69 s
+    depending on which stage wins the race). Pass ``False`` only for
+    pure-DAG inspection (plan tests, .explain).
+
+    ``vocab_scale > 1`` runs the bench's vocabulary-scaled variant:
+    replica texts are token-perturbed and the gazetteer/aliases grow
+    ×vocab_scale (sources/pages.py::synthesize_pages(perturb_vocab=),
+    operators/gazetteer.py::scaled_*) so the vocabulary-level KG
+    stages scale with the corpus like a real Zipf corpus instead of
+    staying ~20 surfaces under replication."""
+    pages = pages_with_extracted_text(
+        spark, sf_dir, replicate=replicate,
+        perturb_vocab=vocab_scale > 1)
     sentences = split_sentences(pages)
+    aliases = linking.alias_df(spark, vocab_scale=vocab_scale)
+    backend_factory = None
+    if vocab_scale > 1:
+        from ..operators.gazetteer import scaled_gazetteer
+        from ..operators.model import GazetteerBackend, RetryingBackend
+        gaz = scaled_gazetteer(vocab_scale)
+
+        def backend_factory():
+            return RetryingBackend(GazetteerBackend(gaz))
     # Fused infer→parse→align→explode: one Arrow crossing (see
     # operators/infer.py::extract_mentions). Persisted because linking
     # references mentions on both its hit and miss branches, and
@@ -83,14 +115,18 @@ def build_pipeline(
     # dropped before linking.
     base_mentions = extract_mentions(
         sentences, spec=spec, partitions=partitions,
+        backend_factory=backend_factory,
         carry=("text",) if with_verify else ()).persist()
+    if eager_cache:
+        # Fill the cache NOW, in one job, before any branch hangs off
+        # it (see docstring: concurrent-stage duplicate fill race).
+        base_mentions.count()
     mentions = base_mentions
     if with_verify:
         mentions = verify_types(
             base_mentions, resolve_disputes=resolve_disputes,
         ).withColumn("type", F.col("type_final")).drop(
             "type_verified", "type_final", "text")
-    aliases = linking.alias_df(spark)
     linked = linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link)
     cached = (base_mentions,
               *getattr(linked, "_promptner_caches", ()))

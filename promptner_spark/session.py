@@ -30,6 +30,17 @@ from pyspark.sql import SparkSession
 # request-size commitment.
 ARROW_BATCH_ROWS = 4096
 
+# Driver JVM flags (r3 stall hunt, full writeup in BENCH/BASELINE.md):
+# jstack during a 47 s run of a 5 s query showed ALL executor threads
+# idle and the time going to lazy heap page faults + JIT churn —
+# -Xms reserves the heap but the host only backs pages on first touch,
+# so early timed runs stall tens of seconds faulting in gigabytes.
+# +AlwaysPreTouch moves that cost to JVM startup (measured: the same
+# loop went from 5-69 s bimodal to a stable 4.4-10.9 s). The enlarged
+# code cache stops sweeper/recompile churn across a many-query session
+# (hundreds of distinct generated whole-stage classes).
+DRIVER_JVM_FLAGS = "-XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=2g"
+
 
 def build_session(
     cores: int | None = None,
@@ -64,9 +75,18 @@ def build_session(
         # 128 GiB box. On a real cluster this maps to executor memory
         # sized to partition volume, not a driver setting.
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g"),
+        "spark.driver.extraJavaOptions": DRIVER_JVM_FLAGS,
     }
     if extra_conf:
-        conf.update(extra_conf)
+        extra = dict(extra_conf)
+        # extraJavaOptions MERGES with the defaults (callers pass -Xms
+        # etc.; losing AlwaysPreTouch would reintroduce the page-fault
+        # stalls documented above)
+        if "spark.driver.extraJavaOptions" in extra:
+            extra["spark.driver.extraJavaOptions"] = (
+                DRIVER_JVM_FLAGS + " "
+                + extra["spark.driver.extraJavaOptions"])
+        conf.update(extra)
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

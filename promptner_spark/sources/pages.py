@@ -54,7 +54,8 @@ def extract_text(html: Column) -> Column:
 
 
 def synthesize_pages(spark: SparkSession, sf_dir: str,
-                     replicate: int = 1) -> DataFrame:
+                     replicate: int = 1,
+                     perturb_vocab: bool = False) -> DataFrame:
     """documents.parquet → pages table per input_hint.
 
     ``warc_ts`` is a deterministic function of doc_id (one second per
@@ -65,6 +66,14 @@ def synthesize_pages(spark: SparkSession, sf_dir: str,
     doc_ids/urls, identical text) — the bench harness uses this to make
     the scaling measurement compute-dominated rather than
     fixed-overhead-dominated at sandbox data sizes.
+
+    ``perturb_vocab`` (with ``replicate``) suffixes every single-word
+    gazetteer token in replica r>0 with ``vr`` (``spark`` → ``sparkv3``)
+    — one case-insensitive JVM regexp pass, still fully deterministic.
+    Paired with ``operators/gazetteer.py::scaled_gazetteer`` this makes
+    the surface VOCABULARY grow with the corpus (as a real Zipf corpus
+    does) instead of repeating ~20 surfaces, so the vocabulary-level
+    KG stages distribute in the scaling measurement.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replicate > 1:
@@ -77,7 +86,17 @@ def synthesize_pages(spark: SparkSession, sf_dir: str,
             "__rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
         ).withColumn(
             "doc_id", F.col("doc_id") * replicate + F.col("__rep")
-        ).drop("__rep")
+        )
+        if perturb_vocab:
+            from ..operators.gazetteer import ORACLE_GAZETTEER
+            pat = (r"(?i)\b(" + "|".join(ORACLE_GAZETTEER) + r")\b")
+            docs = docs.withColumn(
+                "text",
+                F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                    F.regexp_replace(
+                        F.col("text"), F.lit(pat),
+                        F.concat(F.lit("$1v"), F.col("__rep")))))
+        docs = docs.drop("__rep")
     return docs.select(
         url_of(F.col("doc_id")).alias("url"),
         F.timestamp_seconds(
@@ -90,11 +109,13 @@ def synthesize_pages(spark: SparkSession, sf_dir: str,
 
 
 def pages_with_extracted_text(spark: SparkSession, sf_dir: str,
-                              replicate: int = 1) -> DataFrame:
+                              replicate: int = 1,
+                              perturb_vocab: bool = False) -> DataFrame:
     """Pages + ``extracted`` column (coalesce(text, extract(html))) —
     the first pipeline stage. ``extract_ok`` flags the byte-identity
     invariant for the lineage manifest."""
-    pages = synthesize_pages(spark, sf_dir, replicate=replicate)
+    pages = synthesize_pages(spark, sf_dir, replicate=replicate,
+                             perturb_vocab=perturb_vocab)
     extracted = extract_text(F.col("html"))
     return pages.select(
         "url", "warc_ts", "lang",

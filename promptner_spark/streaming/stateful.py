@@ -86,19 +86,30 @@ def stream_dedup_first_seen(
             state.remove()
             return
         n_seen, first_url = state.get if state.exists else (0, None)
-        out = []
+        was_new = n_seen == 0
+        # A key's rows can span SEVERAL Arrow chunks within one
+        # micro-batch (> maxRecordsPerBatch rows), and chunk order is
+        # not part of the contract — so the deterministic winner
+        # (min url) is selected over a running min across ALL chunks,
+        # and emitted only after the iterator is drained. Selecting
+        # from the first non-empty chunk would tie the output to
+        # chunk order and break batch-parity with dedup_exact.
+        winner = None
         for pdf in pdfs:
-            if n_seen == 0 and len(pdf):
-                # deterministic winner inside the batch: min (url)
-                first = pdf.sort_values(["url"], kind="mergesort").iloc[:1]
-                out.append(first)
-                first_url = str(first["url"].iloc[0])
+            if not len(pdf):
+                continue
             n_seen += len(pdf)
+            cand = pdf.sort_values(["url"], kind="mergesort").iloc[:1]
+            if (winner is None
+                    or str(cand["url"].iloc[0]) < str(winner["url"].iloc[0])):
+                winner = cand
+        if was_new and winner is not None:
+            first_url = str(winner["url"].iloc[0])
         state.update((n_seen, first_url))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        for pdf in out:
-            yield pdf
+        if was_new and winner is not None:
+            yield winner
 
     return keyed.groupBy("content_md5").applyInPandasWithState(
         dedup,

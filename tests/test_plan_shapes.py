@@ -109,10 +109,13 @@ def test_span_f1_runs_one_inference_stage(spark, sf_dir):
 
     df = q_span_f1(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # every MapInPandas occurrence is the rendering of the ONE cached
-    # relation (plan text repeats the cached subtree per consumer) —
-    # same count as InMemoryRelation, and a single distinct expr id
-    assert plan.count("MapInPandas") == plan.count("InMemoryRelation") > 0
+    # every MapInPandas occurrence is a rendering of the ONE cached
+    # relation (plan text repeats the cached subtree per consumer, and
+    # an eagerly-filled InMemoryRelation prints both its logical child
+    # and materialized plan) — the invariant is a single distinct
+    # fused-UDF expression id behind a cache boundary
+    assert plan.count("InMemoryRelation") > 0
+    assert plan.count("MapInPandas") > 0
     ids = set(re.findall(r"MapInPandas (fused\(.*?\)#\d+)", plan))
     assert len(ids) == 1, ids
 
