@@ -65,6 +65,41 @@ def write_stage(df: DataFrame, root: str, stage: str,
     return out
 
 
+def iceberg_available(spark: SparkSession,
+                      catalog: str = "spark_catalog") -> bool:
+    """True when an Iceberg catalog is configured on this session —
+    the gate for :func:`write_stage_iceberg` (same import/config-gate
+    pattern as the HF dataset loaders in sources/tagged.py). The
+    sandbox ships no Iceberg jars, so this is False here; on a real
+    cluster set ``spark.sql.catalog.<name>`` to
+    ``org.apache.iceberg.spark.SparkCatalog`` and the writer activates."""
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    return bool(impl) and "iceberg" in impl.lower()
+
+
+def write_stage_iceberg(df: DataFrame, table: str,
+                        partition_cols: list[str] | None = None,
+                        catalog: str = "spark_catalog") -> DataFrame:
+    """Iceberg-native stage writer (north_star names "partitioned
+    Iceberg graph tables"): ``writeTo(...).createOrReplace()`` with the
+    same bucket-column partitioning the parquet stand-in uses; Iceberg
+    then owns snapshots/manifests, superseding the hand-rolled
+    ``_manifest`` + ``_SUCCESS_STAGE`` protocol (its commit IS the
+    atomic completion marker, and time-travel replaces resume-by-
+    marker). Raises RuntimeError when no Iceberg catalog is configured
+    — callers use :func:`iceberg_available` to pick the path."""
+    spark = df.sparkSession
+    if not iceberg_available(spark, catalog):
+        raise RuntimeError(
+            f"no Iceberg catalog at spark.sql.catalog.{catalog}; "
+            "use write_stage (parquet stand-in) instead")
+    writer = df.writeTo(table)
+    if partition_cols:
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+    writer.createOrReplace()
+    return spark.read.table(table)
+
+
 def run_stage(spark: SparkSession, root: str, stage: str,
               build: Callable[[], DataFrame],
               partition_cols: list[str] | None = None) -> DataFrame:

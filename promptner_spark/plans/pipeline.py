@@ -64,6 +64,7 @@ def build_pipeline(
     nil_merge: bool = False,
     eager_cache: bool = True,
     vocab_scale: int = 1,
+    backend_factory=None,
 ) -> PipelineResult:
     """Build the pipeline DAG. ``resolve_disputes`` (with
     ``with_verify``) enables the C8 third-query resolution in the
@@ -94,8 +95,10 @@ def build_pipeline(
         perturb_vocab=vocab_scale > 1)
     sentences = split_sentences(pages)
     aliases = linking.alias_df(spark, vocab_scale=vocab_scale)
-    backend_factory = None
-    if vocab_scale > 1:
+    # backend_factory: () -> operators.model.Backend, constructed once
+    # per executor task (the real-model injection point — see
+    # tools/real_backend_smoke.py). None = the deterministic default.
+    if backend_factory is None and vocab_scale > 1:
         from ..operators.gazetteer import scaled_gazetteer
         from ..operators.model import GazetteerBackend, RetryingBackend
         gaz = scaled_gazetteer(vocab_scale)

@@ -1053,7 +1053,9 @@ def q_hot_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     per surface + composite-key exact distinct — value-identical to
     the plain GROUP BY the oracle runs."""
     from ..operators.skew import hot_surface_counts
-    m = _oracle_mentions(spark, sf_dir)
+    # two agg branches (salted counts + composite-key distinct) read
+    # the mention stream — managed-persisted like every multi-consumer
+    m = _managed_persist(_oracle_mentions(spark, sf_dir))
     return hot_surface_counts(m, n_salts=8)
 
 

@@ -153,3 +153,33 @@ def test_nil_components_merges_near_duplicate_surfaces(spark):
     plain = {r["surface"]: r["entity_name"]
              for r in canonicalize(linked).collect()}
     assert plain["kafkas"] == "kafkas" != plain["kafka"]
+
+
+def test_pmi_hub_document_cap(spark):
+    """max_entities_per_doc bounds hub-document pair fanout: a doc
+    listing many entities contributes only its capped top-N, selected
+    deterministically (n_mentions desc when present, else entity_name
+    asc)."""
+    from promptner_spark.operators.graph_analytics import pmi_edges
+
+    hub = [("hub", f"e{i:02d}") for i in range(10)]
+    normal = [("d1", "e00"), ("d1", "e01"),
+              ("d2", "e00"), ("d2", "e01")]
+    ents = spark.createDataFrame(hub + normal,
+                                 "url string, entity_name string")
+    capped = pmi_edges(ents, min_docs=1, max_entities_per_doc=3)
+    pairs = {(r["subj"], r["obj"]) for r in capped.collect()}
+    # hub contributes only C(3,2)=3 pairs from e00..e02 (name-asc cap)
+    assert pairs == {("e00", "e01"), ("e00", "e02"), ("e01", "e02")}
+    uncapped = pmi_edges(ents, min_docs=1)
+    assert uncapped.count() == 45  # C(10,2) hub pairs ⊇ the d1/d2 pair
+    # n_mentions ordering wins over name order when provided
+    ranked = spark.createDataFrame(
+        [("hub", "zz_popular", 100), ("hub", "aa_rare", 1),
+         ("hub", "mm_mid", 10),
+         ("d1", "zz_popular", 2), ("d1", "mm_mid", 2)],
+        "url string, entity_name string, n_mentions int")
+    kept = pmi_edges(ranked, min_docs=1, max_entities_per_doc=2)
+    got = {(r["subj"], r["obj"]) for r in kept.collect()}
+    # cap keeps (zz_popular, mm_mid) on the hub — aa_rare dropped
+    assert got == {("mm_mid", "zz_popular")}, got

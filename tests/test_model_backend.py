@@ -217,3 +217,26 @@ def test_verify_dispute_through_chat_adapter(spark, sf_dir):
     from pyspark.sql import functions as F
     assert out.where(F.col("type_final") != F.col("type")).count() == 0
     assert out.count() > 0
+
+
+def test_real_backend_smoke_stub_wiring(spark, sf_dir):
+    """tools/real_backend_smoke.py stub mode: an OpenAIBackend with an
+    injected transport drives the UNCHANGED pipeline via
+    build_pipeline(backend_factory=...) and reproduces the default
+    deterministic pipeline byte-for-byte — proving the exact wiring a
+    first real-cluster run will use."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from real_backend_smoke import make_backend_factory
+
+    from promptner_spark.plans.pipeline import build_pipeline
+
+    stub = build_pipeline(spark, sf_dir,
+                          backend_factory=make_backend_factory(
+                              "stub", "gpt-3.5-turbo"))
+    default = build_pipeline(spark, sf_dir)
+    cols = ["url", "sent_id", "begin", "end", "surface", "type"]
+    got = sorted(map(tuple, stub.mentions.select(*cols).collect()))
+    want = sorted(map(tuple, default.mentions.select(*cols).collect()))
+    stub.unpersist(); default.unpersist()
+    assert got == want and len(got) > 0

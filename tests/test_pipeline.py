@@ -174,3 +174,19 @@ def test_checkpoint_graph_tables_are_bucket_partitioned(spark, sf_dir, tmp_path)
     # bucket assignment is the documented hash, so routing is stable
     got = t.select("subj", "bucket").distinct().collect()
     assert all(r["bucket"] == 2 for r in got)
+
+
+def test_iceberg_writer_is_catalog_gated(spark):
+    """write_stage_iceberg activates only behind a configured Iceberg
+    catalog (none in this sandbox): the gate reports False and the
+    writer refuses with a clear error instead of a deep Spark failure."""
+    import pytest
+
+    from promptner_spark.plans.checkpoint import (
+        iceberg_available, write_stage_iceberg,
+    )
+
+    assert iceberg_available(spark) is False
+    df = spark.range(3)
+    with pytest.raises(RuntimeError, match="no Iceberg catalog"):
+        write_stage_iceberg(df, "local.db.t")

@@ -158,3 +158,22 @@ def test_predicate_triples_single_exchange(spark):
     # one hashpartitioning exchange (the groupBy); no join at all
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_registry_queries_release_caches(spark, sf_dir):
+    """Driver-session cache hygiene (r2 verdict #6): a registry query
+    may persist intermediates, but the NEXT registry call must release
+    them — no InMemoryRelation survives into the following query."""
+    from promptner_spark.plans.queries import QUERIES, _release_pending
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    _release_pending()
+    base = n_cached()
+    QUERIES["q_triples"](spark, sf_dir).count()
+    assert n_cached() > base  # the mention cache is live (by design)
+    QUERIES["q_pricing"](spark, sf_dir).count()  # wrapper drains it
+    assert n_cached() == base
+    _release_pending()  # idempotent
+    assert n_cached() == base

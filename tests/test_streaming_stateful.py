@@ -218,3 +218,33 @@ def test_stream_dedup_matches_batch_dedup(spark, sf_dir, tmp_path):
                        id_col="doc_id")
     expected = {r["url"] for r in kept.select("url").collect()}
     assert streamed == expected
+
+
+def test_stream_dedup_winner_spans_arrow_chunks(spark, tmp_path):
+    """The deterministic winner (min url) must be selected across ALL
+    Arrow chunks of a key's micro-batch iterator, not the first
+    non-empty chunk — with maxRecordsPerBatch=2 a 6-row digest spans
+    3 chunks and the minimum url arrives in the LAST one."""
+    from promptner_spark.streaming.stateful import stream_dedup_first_seen
+
+    urls = [f"https://ex.com/{u}" for u in ("z", "y", "x", "w", "v", "a")]
+    rows = [(u, "same text payload") for u in urls]
+    df = spark.createDataFrame(rows, "url string, text string") \
+        .withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    in_dir = str(tmp_path / "chunk_in")
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        sch = "url string, text string, warc_ts timestamp"
+        stream = spark.readStream.schema(sch).parquet(in_dir)
+        out = stream_dedup_first_seen(stream)
+        q = (out.writeStream.format("memory").queryName("chunk_dedup")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("select url from chunk_dedup").collect()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert [r["url"] for r in got] == ["https://ex.com/a"]
