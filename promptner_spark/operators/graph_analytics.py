@@ -32,6 +32,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint: bool = True,
+    checkpoint_min_nodes: int = 10_000,
 ) -> DataFrame:
     """(src, dst) undirected edge list → (node, pagerank).
 
@@ -57,12 +58,18 @@ def pagerank(
         .select("s", "t", F.col("deg").alias("deg_s"), "deg_t")
     )
     if checkpoint:
-        adj = adj.localCheckpoint(eager=True)
+        adj = adj.localCheckpoint(eager=True)   # the loop invariant
     nodes = adj.select(F.col("t").alias("node"),
                        F.col("deg_t").alias("deg")).distinct()
     n = nodes.count()
     if n == 0:   # empty graph: empty result, not a division by zero
         return nodes.select("node", F.lit(0.0).alias("pagerank"))
+    # Per-iteration lineage truncation only pays off when an iteration
+    # materializes real data: below checkpoint_min_nodes the loop is
+    # plan-latency-bound and lazy iterations in one final job beat
+    # eager materializations (values identical either way — the n
+    # count above already sized the graph, so the decision is free).
+    checkpoint = checkpoint and n >= checkpoint_min_nodes
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(n_iter):
