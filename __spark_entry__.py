@@ -9,10 +9,10 @@
   DuckDB closed forms and the cross-engine determinism rules;
   COVERAGE.md maps every inventory row to query + test).
 - ``oracle_sql()``: DuckDB-runnable ANSI SQL per query; the only keys
-  absent (q_pipeline_triples, q_media_features, q_knn_ivf) are beyond
-  a SQL closed form (multiword n-th-occurrence alignment;
-  byte-histogram codec; iterative k-means quantizer) and get the
-  driver's rows-only check.
+  absent (q_pipeline_triples, q_knn_ivf) are beyond a SQL closed form
+  (multiword n-th-occurrence alignment; iterative k-means quantizer)
+  and get the driver's rows-only check — each is additionally pinned
+  by pytest gates (golden replay + triple P/R; recall+determinism).
 """
 
 from __future__ import annotations

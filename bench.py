@@ -312,12 +312,14 @@ def main() -> None:
         for name in HEADLINE:
             if name not in QUERIES:
                 continue
-            # best-of-2, ALL runs recorded: a one-shot number folds
+            # best-of-3, ALL runs recorded: a one-shot number folds
             # first-execution JIT/codegen of that query's generated
             # classes into the measurement (observed 3-4x one-shot
-            # swings on this host)
+            # swings on this host; the two-python-stage verify query
+            # needs a second repeat to reach steady state even after
+            # the verify-shaped warm-up)
             runs = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 _materialize(QUERIES[name](spark, SF_DIR))
                 runs.append(round(time.time() - t0, 3))
