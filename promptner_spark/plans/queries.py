@@ -1159,6 +1159,64 @@ SELECT v.s AS surface, coalesce(walk.component, v.s) AS canonical_rep
 FROM vocab v LEFT JOIN walk ON walk.node = v.s"""
 
 
+# --------------------------------------------------- WARC ingest round-trip
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC parser correctness as a closed form: each document is
+    rendered as a spec-framed WARC response record (headers +
+    Content-Length framing + an http header block) with pure SQL
+    expressions, then pushed through the REAL record parser
+    (sources/warc.py::parse_warc_bytes) in a pandas UDF. The DuckDB
+    oracle computes the expected (url, n_bytes, digest) directly from
+    the same synthesis — a hash_match proves the parser inverts the
+    framing byte-exactly, http strip included."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..sources.pages import html_of, url_of
+    from ..sources.warc import parse_warc_bytes
+
+    docs = _docs(spark, sf_dir)
+    html = F.decode(html_of(F.col("doc_id"), F.col("lang"),
+                            F.col("text")), "UTF-8")
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url_of(F.col("doc_id")),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(F.encode(http, "UTF-8")).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"))
+    rec = docs.select(F.encode(record, "UTF-8").alias("warc_bytes"))
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("html", T.BinaryType(), True),
+    ])
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["warc_bytes"]:
+                for url, _ts, payload in parse_warc_bytes(bytes(blob)):
+                    rows.append((url, len(payload), payload))
+            yield pd.DataFrame(rows, columns=["url", "n_bytes", "html"])
+
+    parsed = rec.mapInPandas(parse, schema=schema)
+    return parsed.select(
+        "url",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.md5("html").alias("content_md5"))
+
+
+def _sql_warc_roundtrip() -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}
+SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes,
+       md5(decode(html)) AS content_md5
+FROM pages"""
+
+
 # ------------------------------------------------- predicate extraction
 def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical predicate triples: adjacent oracle-gazetteer mentions
@@ -1348,6 +1406,7 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_pmi": q_pmi,
     "q_nil_merge": q_nil_merge,
+    "q_warc_roundtrip": q_warc_roundtrip,
 }
 QUERIES = {name: _managed(fn) for name, fn in QUERIES.items()}
 
@@ -1385,6 +1444,7 @@ ORACLE_SQL = {
     "q_pagerank": _sql_pagerank(),
     "q_pmi": _sql_pmi(),
     "q_nil_merge": _sql_nil_merge(),
+    "q_warc_roundtrip": _sql_warc_roundtrip(),
     # q_pipeline_triples, q_knn_ivf: rows-only (no SQL closed form:
     # multiword n-th-occurrence alignment / iterative quantizer)
 }
