@@ -33,6 +33,7 @@ def pagerank(
     dst: str = "dst",
     checkpoint: bool = True,
     checkpoint_min_nodes: int = 10_000,
+    local_max_edges: int = 100_000,
 ) -> DataFrame:
     """(src, dst) undirected edge list → (node, pagerank).
 
@@ -45,6 +46,21 @@ def pagerank(
     sym = e.unionByName(
         e.select(F.col("t").alias("s"), F.col("s").alias("t"))
     ).distinct()
+    # Small-graph local mode (GraphFrames-style hybrid): a bounded
+    # limit+collect probes the size in ONE job; when the whole
+    # symmetric edge set fits under local_max_edges, 4 power
+    # iterations on the driver beat ~10 distributed stage round-trips
+    # of scheduler latency by 2-3 s. Values are identical: the same
+    # per-iteration round(·, 9) pins the trajectory (that rounding
+    # already absorbs summation-order noise cross-engine, per the
+    # oracle design). The distributed path below is unchanged and is
+    # the 100 TB path.
+    if local_max_edges:
+        head = sym.limit(local_max_edges + 1).collect()
+        if len(head) <= local_max_edges:
+            return _pagerank_local(
+                edges.sparkSession, [(r["s"], r["t"]) for r in head],
+                n_iter, damping, node_type=sym.schema["s"].dataType)
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # Degrees of BOTH endpoints ride on the adjacency table, attached
     # once before the loop: each iteration is then ONE join (ranks
@@ -88,6 +104,42 @@ def pagerank(
         if checkpoint and (i % 2 == 1 or i == n_iter - 1):
             pr = pr.localCheckpoint(eager=True)
     return pr.select("node", F.round(F.col("pr"), 6).alias("pagerank"))
+
+
+def _pagerank_local(spark, sym_edges: list[tuple], n_iter: int,
+                    damping: float, node_type=None) -> DataFrame:
+    """Driver-side power iteration over an already-symmetrized edge
+    list — the exact float recipe of the distributed loop
+    (pr/deg contributions, round(base + damping·sum, 9) per step,
+    round(·, 6) at the end)."""
+    from collections import defaultdict
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("node", node_type or T.StringType(), True),
+        T.StructField("pagerank", T.DoubleType(), True),
+    ])
+    out_edges: dict = defaultdict(list)
+    deg: dict = defaultdict(int)
+    for s, t in sym_edges:
+        out_edges[s].append(t)
+        deg[s] += 1
+    nodes = sorted(deg)
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    base = (1.0 - damping) / n
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        acc: dict = defaultdict(float)
+        for s in nodes:
+            c = pr[s] / deg[s]
+            for t in out_edges[s]:
+                acc[t] += c
+        pr = {v: round(base + damping * acc[v], 9) for v in nodes}
+    return spark.createDataFrame(
+        [(v, round(pr[v], 6)) for v in nodes], schema)
 
 
 def pmi_edges(doc_entities: DataFrame, min_docs: int = 2,

@@ -183,3 +183,21 @@ def test_pmi_hub_document_cap(spark):
     got = {(r["subj"], r["obj"]) for r in kept.collect()}
     # cap keeps (zz_popular, mm_mid) on the hub — aa_rare dropped
     assert got == {("mm_mid", "zz_popular")}, got
+
+
+def test_pagerank_local_mode_matches_distributed(spark):
+    """The small-graph local fast path must reproduce the distributed
+    loop exactly (same rounded trajectory) — forced by toggling
+    local_max_edges on the same input."""
+    from promptner_spark.operators.graph_analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+         ("d", "e"), ("e", "a")],
+        "src string, dst string")
+    local = {(r["node"], r["pagerank"])
+             for r in pagerank(edges, n_iter=4).collect()}
+    dist = {(r["node"], r["pagerank"])
+            for r in pagerank(edges, n_iter=4,
+                              local_max_edges=0).collect()}
+    assert local == dist
