@@ -1262,42 +1262,63 @@ _SQL_ENTS_CTE = """ents AS (
   FROM mentions m JOIN aliases a ON m.surface = a.alias_norm)"""
 
 
-def _doc_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_entities(spark: SparkSession, sf_dir: str
+                  ) -> tuple[DataFrame, int, int]:
+    """Persisted distinct (url, entity_name) incidence table, plus two
+    driver scalars the graph queries need anyway: (n_distinct_urls,
+    max_entities_per_url). The ONE aggregation job that computes them
+    doubles as the eager cache fill (it scans every partition), so
+    neither consumer pays a separate count job — r3's q_pmi paid the
+    fill + a distinct-url count + a cap-window shuffle on top."""
     m = _oracle_mentions(spark, sf_dir)
     linked = linking.link_exact(m, linking.alias_df(spark))
-    # Managed-persisted: both graph queries hang a self-join (edge /
-    # pair generation) plus count jobs off this table — uncached, each
-    # concurrent branch re-runs the inference UDF chain.
-    return _managed_persist(
-        linked.where(F.col("entity_id").isNotNull())
-        .select("url", F.col("canonical_name").alias("entity_name"))
-        .distinct())
+    ents = (linked.where(F.col("entity_id").isNotNull())
+            .select("url", F.col("canonical_name").alias("entity_name"))
+            .distinct()
+            .persist())
+    row = (ents.groupBy("url").agg(F.count(F.lit(1)).alias("c"))
+           .agg(F.count(F.lit(1)).alias("n_urls"),
+                F.max("c").alias("max_c")).collect())[0]
+    _defer_release(ents)
+    n_urls = int(row["n_urls"] or 0)
+    max_c = int(row["max_c"] or 0)
+    return ents, n_urls, max_c
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the doc-co-occurrence entity
     graph (operators/graph_analytics.py). Per-iteration round(·, 9)
     pins the float trajectory so DuckDB replays it bit-for-bit (the
-    only nondeterminism is summation order; 9 dp absorbs it)."""
+    only nondeterminism is summation order; 9 dp absorbs it).
+    Small-graph local mode opted in HERE (bench registry), not by
+    library default — r3 advisor note."""
     from ..operators.graph_analytics import pagerank
-    ents = _doc_entities(spark, sf_dir)
+    ents, _, _ = _doc_entities(spark, sf_dir)
     a, b = ents.alias("a"), ents.alias("b")
     edges = (a.join(b, "url")
              .where(F.col("a.entity_name") < F.col("b.entity_name"))
              .select(F.col("a.entity_name").alias("src"),
                      F.col("b.entity_name").alias("dst"))
              .distinct())
-    return pagerank(edges, n_iter=4, damping=0.85)
+    return pagerank(edges, n_iter=4, damping=0.85,
+                    local_max_edges=100_000)
 
 
 def _sql_pagerank(n_iter: int = 4, damping: float = 0.85) -> str:
-    base = repr(1.0 - damping)   # the exact double Spark computes
+    """Unrolled-CTE replay of the FIXED-POINT integer PageRank
+    (graph_analytics.py): int64 numerators at PR_SCALE, integer
+    division for contributions and damping — bit-identical under any
+    summation order, so DuckDB reproduces Spark exactly without any
+    rounding-boundary luck (r4: a property test showed the old 9-dp
+    float pinning could flip the 6th dp on larger graphs)."""
+    from ..operators.graph_analytics import PR_SCALE, damping_ratio
+    p, q = damping_ratio(damping)
+    base = f"(({q - p}) * {PR_SCALE}) // ({q} * (SELECT c FROM nn))"
     steps, prev = [], "pr0"
     for i in range(1, n_iter + 1):
         steps.append(f"""pr{i} AS (
   SELECT e.t AS node,
-         round({base}/(SELECT c FROM nn) + {damping!r}*sum(p.pr/d.deg), 9)
-           AS pr
+         CAST({base} + ({p} * sum(p.pr // d.deg)) // {q} AS BIGINT) AS pr
   FROM edges e JOIN {prev} p ON e.s = p.node JOIN deg d ON e.s = d.s
   GROUP BY e.t)""")
         prev = f"pr{i}"
@@ -1312,9 +1333,10 @@ e0 AS (
 edges AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
 deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
 nn AS (SELECT count(*) AS c FROM deg),
-pr0 AS (SELECT s AS node, 1.0/(SELECT c FROM nn) AS pr FROM deg),
+pr0 AS (SELECT s AS node, {PR_SCALE} // (SELECT c FROM nn) AS pr FROM deg),
 {chain}
-SELECT node, round(pr, 6) AS pagerank FROM {prev}"""
+SELECT node, round(CAST(pr AS DOUBLE) / {PR_SCALE}, 6) AS pagerank
+FROM {prev}"""
 
 
 _PMI_DOC_CAP = 16
@@ -1324,12 +1346,16 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI-weighted entity co-occurrence edges (pure int counts →
     per-row float: exactly reproducible cross-engine). The per-doc
     entity cap (hub-document fanout bound) is active and replayed by
-    the oracle; at this corpus no doc reaches it, so the pytest hub
-    test (tests/test_graph_analytics.py) carries the behavioral
-    check."""
+    the oracle; at this corpus no doc reaches it — the cache-fill job
+    proves that (max_per_doc_hint), so the cap window costs nothing
+    here — and the pytest hub test (tests/test_graph_analytics.py)
+    carries the behavioral check."""
     from ..operators.graph_analytics import pmi_edges
-    return pmi_edges(_doc_entities(spark, sf_dir), min_docs=2,
-                     max_entities_per_doc=_PMI_DOC_CAP)
+    ents, n_urls, max_c = _doc_entities(spark, sf_dir)
+    return pmi_edges(ents, min_docs=2,
+                     max_entities_per_doc=_PMI_DOC_CAP,
+                     total_docs=n_urls, max_per_doc_hint=max_c,
+                     assume_distinct=True)
 
 
 def _sql_pmi() -> str:

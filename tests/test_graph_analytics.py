@@ -57,15 +57,17 @@ def test_pagerank_matches_reference_power_iteration(spark):
            for r in pagerank(edges, n_iter=4, damping=0.85).collect()}
 
     # reference: plain-python power iteration with the operator's
-    # exact per-step rounding
-    pr = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    # exact fixed-point integer recipe (PR_SCALE numerators,
+    # pr//deg contributions, base + (17·sum)//20 damping)
+    from promptner_spark.operators.graph_analytics import PR_SCALE
+    base = (3 * PR_SCALE) // (20 * 3)   # ((20-17)·S) // (20·n)
+    pr = {v: PR_SCALE // 3 for v in "abc"}
     deg = {"a": 1, "b": 2, "c": 1}
     nbrs = {"a": ["b"], "b": ["a", "c"], "c": ["b"]}
     for _ in range(4):
-        pr = {v: round((1 - 0.85) / 3
-                       + 0.85 * sum(pr[u] / deg[u] for u in nbrs[v]), 9)
+        pr = {v: base + (17 * sum(pr[u] // deg[u] for u in nbrs[v])) // 20
               for v in pr}
-    want = {v: round(p, 6) for v, p in pr.items()}
+    want = {v: round(p / PR_SCALE, 6) for v, p in pr.items()}
     assert got == want
     # center of the path must dominate
     assert got["b"] > got["a"] == got["c"]
@@ -188,7 +190,9 @@ def test_pmi_hub_document_cap(spark):
 def test_pagerank_local_mode_matches_distributed(spark):
     """The small-graph local fast path must reproduce the distributed
     loop exactly (same rounded trajectory) — forced by toggling
-    local_max_edges on the same input."""
+    local_max_edges on the same input. Local mode is opt-in
+    (default local_max_edges=0): library callers are never silently
+    switched to driver-side execution (r3 advisor note)."""
     from promptner_spark.operators.graph_analytics import pagerank
 
     edges = spark.createDataFrame(
@@ -196,8 +200,65 @@ def test_pagerank_local_mode_matches_distributed(spark):
          ("d", "e"), ("e", "a")],
         "src string, dst string")
     local = {(r["node"], r["pagerank"])
-             for r in pagerank(edges, n_iter=4).collect()}
+             for r in pagerank(edges, n_iter=4,
+                               local_max_edges=100_000).collect()}
     dist = {(r["node"], r["pagerank"])
-            for r in pagerank(edges, n_iter=4,
-                              local_max_edges=0).collect()}
+            for r in pagerank(edges, n_iter=4).collect()}
     assert local == dist
+
+
+def test_pagerank_local_mode_property_random_graphs(spark):
+    """Local ≡ distributed on larger RANDOM graphs (r3 advisor: the
+    single 7-edge parity case was too thin a base for the claim that
+    round(·, 9) absorbs summation-order differences). Three seeded
+    Erdős–Rényi-ish graphs, a few hundred nodes / ~2k edges each,
+    exact set equality of the rounded ranks."""
+    import random
+
+    from promptner_spark.operators.graph_analytics import pagerank
+
+    for seed in (7, 41, 1913):
+        rng = random.Random(seed)
+        n = rng.randint(150, 300)
+        m = rng.randint(1200, 2400)
+        edges_py = {(f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+                    for _ in range(m)}
+        edges_py = [(s, t) for s, t in edges_py if s != t]
+        edges = spark.createDataFrame(edges_py, "src string, dst string")
+        local = {(r["node"], r["pagerank"])
+                 for r in pagerank(edges, n_iter=4,
+                                   local_max_edges=1_000_000).collect()}
+        dist = {(r["node"], r["pagerank"])
+                for r in pagerank(edges, n_iter=4).collect()}
+        assert local == dist, f"seed {seed}: local/distributed diverge"
+
+
+def test_pagerank_probe_is_cheap_and_reuses_sym(spark):
+    """The symmetrized edge set is localCheckpointed BEFORE the size
+    probe, so (a) local mode costs exactly two jobs (checkpoint fill +
+    bounded collect), and (b) when the probe falls through, the
+    distributed loop reads the materialized blocks instead of
+    recomputing the union+distinct (r3 verdict minor #3)."""
+    from promptner_spark.operators.graph_analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    sc = spark.sparkContext
+    group = "pagerank-probe-test"
+    sc.setJobGroup(group, "probe job count")
+    try:
+        pagerank(edges, n_iter=4, local_max_edges=10)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        # 1 checkpoint fill + ≤2 for the bounded collect (limit's
+        # incremental partition scan-up) — and crucially NOT the
+        # ~10-job distributed iteration cascade
+        assert len(jobs) <= 3, f"local-mode probe ran {len(jobs)} jobs"
+    finally:
+        sc.setJobGroup("", "")
+    # fall-through path: with checkpoint=False, ONLY the pre-probe
+    # sym checkpoint can explain a plan free of the re-derived
+    # Union+Distinct — proves the distributed loop reuses the
+    # materialized edge set instead of recomputing it
+    pr = pagerank(edges, n_iter=1, local_max_edges=2, checkpoint=False)
+    plan = pr._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan
