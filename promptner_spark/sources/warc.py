@@ -12,9 +12,13 @@ module is that first hop, Spark-first:
 - record parsing runs inside ``mapInPandas`` per file, streaming:
   records are yielded in bounded batches, so executor memory is
   bounded by batch size + one record, never by file size.
-- gzip is handled member-wise (CC compresses each record as its own
-  gzip member): one ``zlib`` decompressobj per member, re-fed with
-  ``unused_data`` — no whole-file buffer.
+- gzip is decompressed in bounded chunks (1 MiB) across members: an
+  offset into a ``memoryview`` advances by exactly the bytes each
+  ``decompressobj`` consumed, so total bytes moved is O(file) even
+  for Common Crawl's ~10⁵ members per ~1 GiB archive, and records
+  are framed INCREMENTALLY from the chunk stream — peak memory is
+  one record (header + Content-Length payload), never one member or
+  one file, including the single-member whole-file-gzip layout.
 
 Only ``response`` records with an http payload become pages; request /
 metadata / warcinfo records are skipped. The http status line +
@@ -41,51 +45,87 @@ WARC_PAGES_SCHEMA = T.StructType([
 ])
 
 _CRLF2 = b"\r\n\r\n"
+_MARK = b"WARC/"
+_CHUNK = 1 << 20  # decompression feed size — caps per-call memcpy
 
 
-def _gzip_members(blob: bytes) -> Iterator[bytes]:
-    """Decompress a multi-member gzip stream member by member (the
-    Common-Crawl layout: one member per WARC record). Plain bytes pass
-    through untouched."""
+def _decompressed_chunks(blob: bytes) -> Iterator[bytes]:
+    """Yield bounded decompressed chunks across ALL gzip members of a
+    (possibly multi-member) stream; plain bytes pass through as one
+    chunk. O(len(blob)) total bytes moved: the cursor advances by the
+    exact count each ``decompressobj`` consumed (``len(chunk) -
+    len(unused_data)``) instead of re-copying the remaining buffer per
+    member."""
     if not blob.startswith(b"\x1f\x8b"):
         yield blob
         return
-    rest = blob
-    while rest.startswith(b"\x1f\x8b"):
+    view = memoryview(blob)
+    pos, n = 0, len(blob)
+    while pos < n and blob[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        yield d.decompress(rest)
-        rest = d.unused_data
+        while not d.eof and pos < n:
+            chunk = view[pos:pos + _CHUNK]
+            out = d.decompress(chunk)
+            pos += len(chunk) - len(d.unused_data)
+            if out:
+                yield out
+        tail = d.flush()
+        if tail:
+            yield tail
 
 
-def _split_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
-    """(headers, payload) per WARC record in a raw (decompressed)
-    buffer. Uses Content-Length — the spec's framing — rather than
-    scanning for boundary markers that could occur inside payloads."""
-    pos = 0
-    n = len(raw)
-    while pos < n:
-        if raw[pos:pos + 5] != b"WARC/":
-            nxt = raw.find(b"WARC/", pos + 1)
-            if nxt < 0:
+def _parse_headers(head: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in head.split(b"\r\n")[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().decode("ascii", "replace").lower()] = \
+                v.strip().decode("utf-8", "replace")
+    return headers
+
+
+def _stream_records(chunks: Iterator[bytes]) -> Iterator[tuple[dict, bytes]]:
+    """(headers, payload) per WARC record, framed incrementally from a
+    stream of byte chunks. Uses Content-Length — the spec's framing —
+    rather than scanning for boundary markers that could occur inside
+    payloads. Peak buffered memory is one record; a header with a
+    missing/invalid Content-Length resyncs to the next ``WARC/``
+    marker instead of aborting the file."""
+    buf = bytearray()
+
+    def drain(final: bool) -> Iterator[tuple[dict, bytes]]:
+        while True:
+            if not buf.startswith(_MARK):
+                idx = buf.find(_MARK)
+                if idx < 0:
+                    # keep a tail that could be a marker split across chunks
+                    if len(buf) >= len(_MARK):
+                        del buf[:len(buf) - (len(_MARK) - 1)]
+                    return
+                del buf[:idx]
+            head_end = buf.find(_CRLF2)
+            if head_end < 0:
+                return  # need more data (or truncated header at EOF)
+            try:
+                headers = _parse_headers(bytes(buf[:head_end]))
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                del buf[:len(_MARK)]  # corrupt header: resync
+                continue
+            body_start = head_end + len(_CRLF2)
+            if not final and len(buf) < body_start + length:
+                return  # need more data
+            payload = bytes(buf[body_start:body_start + length])
+            # spec: each record is followed by two CRLFs
+            del buf[:min(body_start + length + 2 * len(b"\r\n"), len(buf))]
+            yield headers, payload
+            if final and not buf:
                 return
-            pos = nxt
-        head_end = raw.find(_CRLF2, pos)
-        if head_end < 0:
-            return
-        headers: dict[str, str] = {}
-        for line in raw[pos:head_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
-            if _:
-                headers[k.strip().decode("ascii", "replace").lower()] = \
-                    v.strip().decode("utf-8", "replace")
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            return
-        body_start = head_end + len(_CRLF2)
-        yield headers, raw[body_start:body_start + length]
-        # spec: each record is followed by two CRLFs
-        pos = body_start + length + 2 * len(b"\r\n")
+
+    for chunk in chunks:
+        buf += chunk
+        yield from drain(final=False)
+    yield from drain(final=True)
 
 
 def _http_payload(body: bytes) -> bytes:
@@ -101,15 +141,14 @@ def parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, str, bytes]]:
     """(url, iso_ts, html_bytes) for every ``response`` record in one
     WARC file's bytes (gzip members or plain). Pure function — the
     unit-testable core the Spark reader wraps."""
-    for member in _gzip_members(blob):
-        for headers, body in _split_records(member):
-            if headers.get("warc-type") != "response":
-                continue
-            url = headers.get("warc-target-uri")
-            ts = headers.get("warc-date")
-            if not url:
-                continue
-            yield url, ts or "", _http_payload(body)
+    for headers, body in _stream_records(_decompressed_chunks(blob)):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        ts = headers.get("warc-date")
+        if not url:
+            continue
+        yield url, ts or "", _http_payload(body)
 
 
 def read_warc(spark: SparkSession, path: str,
