@@ -32,6 +32,7 @@ def _counts_dict(df):
 def test_incremental_merge_matches_one_shot_batch(spark, sf_dir, tmp_path):
     from promptner_spark.streaming.incremental import (
         batch_triple_counts, incremental_triple_counts, merge_counts,
+        read_store,
     )
 
     full = _pages(spark, sf_dir, 0, 39)
@@ -42,7 +43,7 @@ def test_incremental_merge_matches_one_shot_batch(spark, sf_dir, tmp_path):
     store = str(tmp_path / "triple_store")
     merge_counts(store, batch_triple_counts(_pages(spark, sf_dir, 0, 19)))
     merge_counts(store, batch_triple_counts(_pages(spark, sf_dir, 20, 39)))
-    got = _counts_dict(spark.read.parquet(store))
+    got = _counts_dict(read_store(spark, store))
     assert got == expected
 
     # the same merge driven by a real availableNow streaming query
@@ -56,5 +57,118 @@ def test_incremental_merge_matches_one_shot_batch(spark, sf_dir, tmp_path):
     q = incremental_triple_counts(
         stream, store2, str(tmp_path / "ckpt"))
     q.awaitTermination(180)
-    got_stream = _counts_dict(spark.read.parquet(store2))
+    got_stream = _counts_dict(read_store(spark, store2))
     assert got_stream == expected
+
+
+def _counts_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "n_sents long, n_docs long")
+
+
+def test_merge_is_idempotent_per_batch_id(spark, tmp_path):
+    """At-least-once foreachBatch: replaying an already-applied
+    batch_id (restart between merge and checkpoint commit) must not
+    double-count."""
+    from promptner_spark.streaming.incremental import (
+        merge_counts, read_store,
+    )
+
+    store = str(tmp_path / "store")
+    b0 = _counts_df(spark, [("a", "p", "b", 3, 2), ("c", "p", "d", 1, 1)])
+    assert merge_counts(store, b0, batch_id=0) is True
+    once = _counts_dict(read_store(spark, store))
+
+    assert merge_counts(store, b0, batch_id=0) is False   # replay → skip
+    assert _counts_dict(read_store(spark, store)) == once
+
+    b1 = _counts_df(spark, [("a", "p", "b", 2, 1)])
+    assert merge_counts(store, b1, batch_id=1) is True
+    assert _counts_dict(read_store(spark, store))[("a", "p", "b")] == (5, 3)
+    # stale replay of an older id after newer ones applied: still a no-op
+    assert merge_counts(store, b0, batch_id=0) is False
+
+
+def test_merge_crash_before_pointer_publish_keeps_old_store(
+        spark, tmp_path, monkeypatch):
+    """Kill-between-swap: a crash after the new bucket dirs are
+    promoted but BEFORE the pointer replace must leave the previous
+    version fully readable; the retried merge then succeeds and the
+    orphaned dirs are swept."""
+    import promptner_spark.streaming.incremental as inc
+
+    store = str(tmp_path / "store")
+    inc.merge_counts(store, _counts_df(
+        spark, [("a", "p", "b", 3, 2)]), batch_id=0)
+    before = _counts_dict(inc.read_store(spark, store))
+
+    real = inc._write_pointer
+
+    def boom(store_dir, ptr):
+        raise RuntimeError("simulated crash before pointer publish")
+
+    monkeypatch.setattr(inc, "_write_pointer", boom)
+    import pytest
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        inc.merge_counts(store, _counts_df(
+            spark, [("a", "p", "b", 1, 1)]), batch_id=1)
+    # previous version is intact — never a moment without a store
+    assert _counts_dict(inc.read_store(spark, store)) == before
+
+    monkeypatch.setattr(inc, "_write_pointer", real)
+    assert inc.merge_counts(store, _counts_df(
+        spark, [("a", "p", "b", 1, 1)]), batch_id=1) is True
+    assert _counts_dict(inc.read_store(spark, store)) == {
+        ("a", "p", "b"): (4, 3)}
+    # crash debris (unreferenced data dirs, staging) was swept
+    import os
+    ptr = inc._load_pointer(store)
+    live = set(ptr["buckets"].values())
+    on_disk = {f"data/{n}" for n in os.listdir(os.path.join(store, "data"))}
+    assert on_disk == live
+    assert not [n for n in os.listdir(store) if n.startswith(".staging_")]
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """Bucket-wise merge: a batch whose subjects hash to one bucket
+    must leave every other bucket's files byte-identical (same paths,
+    same bytes) — at crawl scale a small drop rewrites a few files,
+    not the corpus-wide edge table."""
+    import os
+
+    import promptner_spark.streaming.incremental as inc
+
+    store = str(tmp_path / "store")
+    # seed many subjects so several buckets are populated
+    seed = _counts_df(spark, [(f"s{i}", "p", f"o{i}", i + 1, 1)
+                              for i in range(40)])
+    inc.merge_counts(store, seed, batch_id=0)
+    ptr = inc._load_pointer(store)
+    assert len(ptr["buckets"]) > 2
+
+    def snapshot(bucket_rel):
+        d = os.path.join(store, bucket_rel)
+        return {f: open(os.path.join(d, f), "rb").read()
+                for f in sorted(os.listdir(d)) if f.endswith(".parquet")}
+
+    pre = {k: snapshot(rel) for k, rel in ptr["buckets"].items()}
+
+    # one-subject batch → exactly one touched bucket
+    one = _counts_df(spark, [("s0", "p", "o0", 5, 2)])
+    from pyspark.sql import functions as F
+    [tb] = [r["b"] for r in one.select(
+        F.pmod(F.xxhash64("subj"), F.lit(ptr["n_buckets"]))
+        .cast("int").alias("b")).distinct().collect()]
+    inc.merge_counts(store, one, batch_id=1)
+
+    post_ptr = inc._load_pointer(store)
+    for k, rel in post_ptr["buckets"].items():
+        if int(k) == tb:
+            assert rel != ptr["buckets"][k], "touched bucket must version up"
+        else:
+            assert rel == ptr["buckets"][k], "untouched bucket re-pointed"
+            assert snapshot(rel) == pre[k], "untouched bucket rewritten"
+    got = _counts_dict(inc.read_store(spark, store))
+    assert got[("s0", "p", "o0")] == (6, 3)
+    assert got[("s1", "p", "o1")] == (2, 1)
