@@ -34,6 +34,7 @@ def pagerank(
     checkpoint: bool = True,
     checkpoint_min_nodes: int = 10_000,
     local_max_edges: int = 0,
+    force_local: bool = False,
 ) -> DataFrame:
     """(src, dst) undirected edge list → (node, pagerank).
 
@@ -59,6 +60,17 @@ def pagerank(
     sym = e.unionByName(
         e.select(F.col("t").alias("s"), F.col("s").alias("t"))
     ).distinct()
+    # force_local: the caller PROVES the graph is small from outside
+    # knowledge (e.g. the registry's vocabulary bound: edges over a
+    # v-entity vocabulary number ≤ v(v-1), known driver-side before
+    # any job). Then sym is consumed exactly once — straight into the
+    # driver — so the probe job AND the checkpoint job both vanish:
+    # one Spark job total.
+    if force_local:
+        head = sym.collect()
+        return _pagerank_local(
+            edges.sparkSession, [(r["s"], r["t"]) for r in head],
+            n_iter, damping, node_type=sym.schema["s"].dataType)
     # Materialize the symmetrized edge set ONCE before anything reads
     # it: the size probe, the degree agg and the adjacency build all
     # hang off sym, and without this the local-mode probe pays the
@@ -224,6 +236,15 @@ def pmi_edges(doc_entities: DataFrame, min_docs: int = 2,
 
     Both marginal joins broadcast (vocabulary-sized)."""
     has_counts = "n_mentions" in doc_entities.columns
+    if not has_counts and assume_distinct:
+        # the flat distinct path is equivalent to grouping per url and
+        # running the set-based plan — one shuffle less (no self-join)
+        grouped = doc_entities.groupBy("url").agg(
+            F.sort_array(F.collect_set("entity_name")).alias("ents"))
+        return pmi_edges_from_docsets(
+            grouped, min_docs=min_docs,
+            max_entities_per_doc=max_entities_per_doc,
+            total_docs=total_docs, max_per_doc_hint=max_per_doc_hint)
     cap_needed = max_entities_per_doc is not None and not (
         max_per_doc_hint is not None
         and max_per_doc_hint <= max_entities_per_doc)
@@ -262,6 +283,11 @@ def pmi_edges(doc_entities: DataFrame, min_docs: int = 2,
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
+    return _pmi_score(pairs, marg, total)
+
+
+def _pmi_score(pairs: DataFrame, marg: DataFrame, total: int) -> DataFrame:
+    """(subj, obj, n_docs) × broadcast marginals → scored PMI edges."""
     return (
         pairs
         .join(F.broadcast(marg.withColumnRenamed("entity_name", "subj")
@@ -276,3 +302,66 @@ def pmi_edges(doc_entities: DataFrame, min_docs: int = 2,
                 6).alias("pmi"),
         )
     )
+
+
+def inrow_pairs(ents: str) -> F.Column:
+    """sorted array column → array<struct<subj, obj>> of all (i < j)
+    pairs, generated in-row (the emit_triples trick,
+    operators/triples.py:120): no self-join, fanout bounded by the
+    array length the caller already capped."""
+    col = F.col(ents)
+    n = F.size(col)
+    return F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice(col, i + 1, n - i),
+            (lambda ii: (lambda b: F.struct(
+                F.element_at(col, ii).alias("subj"),
+                b.alias("obj"))))(i),
+        ),
+    ))
+
+
+def pmi_edges_from_docsets(doc_sets: DataFrame, min_docs: int = 2,
+                           max_entities_per_doc: int | None = None,
+                           total_docs: int | None = None,
+                           max_per_doc_hint: int | None = None,
+                           ents_col: str = "ents") -> DataFrame:
+    """PMI edges from the GROUPED incidence form: one row per url with
+    its sorted-distinct entity set. Same output as :func:`pmi_edges`
+    on the flat form, with a strictly smaller plan:
+
+    - the per-doc cap is an in-row ``slice`` of the name-sorted set —
+      identical to the row_number window ordered by entity_name, with
+      zero shuffle;
+    - pairs are emitted in-row (``inrow_pairs``) — the url-keyed
+      self-join disappears; the only wide exchanges left are the
+      (subj, obj) count and the entity marginal count, both
+      vocabulary-bounded aggregations with map-side partials.
+
+    This is the 100-TB-preferred shape: the grouped table is what the
+    canonicalization stage naturally produces, it is ~|docs| rows
+    regardless of entity fanout, and nothing here keys on a hub
+    entity. (Mention-count-weighted capping needs the flat form —
+    use pmi_edges.)"""
+    ents = doc_sets.select("url", F.col(ents_col).alias("ents"))
+    cap_needed = max_entities_per_doc is not None and not (
+        max_per_doc_hint is not None
+        and max_per_doc_hint <= max_entities_per_doc)
+    if cap_needed:
+        ents = ents.select(
+            "url", F.slice("ents", 1, max_entities_per_doc).alias("ents"))
+    total = total_docs if total_docs is not None else ents.count()
+    total = max(total, 1)
+    flat = ents.select(F.explode("ents").alias("entity_name"))
+    marg = flat.groupBy("entity_name").agg(
+        F.count(F.lit(1)).alias("c_single"))
+    pairs = (
+        ents.where(F.size("ents") >= 2)
+        .select(F.explode(inrow_pairs("ents")).alias("p"))
+        .groupBy(F.col("p.subj").alias("subj"),
+                 F.col("p.obj").alias("obj"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return _pmi_score(pairs, marg, total)

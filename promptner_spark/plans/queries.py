@@ -1262,45 +1262,52 @@ _SQL_ENTS_CTE = """ents AS (
   FROM mentions m JOIN aliases a ON m.surface = a.alias_norm)"""
 
 
-def _doc_entities(spark: SparkSession, sf_dir: str
-                  ) -> tuple[DataFrame, int, int]:
-    """Persisted distinct (url, entity_name) incidence table, plus two
-    driver scalars the graph queries need anyway: (n_distinct_urls,
-    max_entities_per_url). The ONE aggregation job that computes them
-    doubles as the eager cache fill (it scans every partition), so
-    neither consumer pays a separate count job — r3's q_pmi paid the
-    fill + a distinct-url count + a cap-window shuffle on top."""
+def _doc_entity_sets(spark: SparkSession, sf_dir: str
+                     ) -> tuple[DataFrame, int, int]:
+    """Persisted GROUPED incidence table — one row per url with its
+    sorted-distinct entity set — plus two driver scalars the graph
+    queries need anyway: (n_distinct_urls, max_entities_per_url). The
+    ONE aggregation job that computes them doubles as the eager cache
+    fill (it scans every partition). Grouped beats the r3 flat
+    distinct table for both consumers: the groupBy(url).collect_set IS
+    the distinct pass, and the downstream pair emission becomes an
+    in-row explode instead of a url-keyed self-join (r4: this halved
+    the q_pmi / q_pagerank shuffle count)."""
     m = _oracle_mentions(spark, sf_dir)
     linked = linking.link_exact(m, linking.alias_df(spark))
-    ents = (linked.where(F.col("entity_id").isNotNull())
-            .select("url", F.col("canonical_name").alias("entity_name"))
-            .distinct()
-            .persist())
-    row = (ents.groupBy("url").agg(F.count(F.lit(1)).alias("c"))
-           .agg(F.count(F.lit(1)).alias("n_urls"),
-                F.max("c").alias("max_c")).collect())[0]
-    _defer_release(ents)
+    grouped = (linked.where(F.col("entity_id").isNotNull())
+               .groupBy("url")
+               .agg(F.sort_array(F.collect_set("canonical_name"))
+                    .alias("ents"))
+               .persist())
+    row = grouped.agg(F.count(F.lit(1)).alias("n_urls"),
+                      F.max(F.size("ents")).alias("max_c")).collect()[0]
+    _defer_release(grouped)
     n_urls = int(row["n_urls"] or 0)
     max_c = int(row["max_c"] or 0)
-    return ents, n_urls, max_c
+    return grouped, n_urls, max_c
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the doc-co-occurrence entity
-    graph (operators/graph_analytics.py). Per-iteration round(·, 9)
-    pins the float trajectory so DuckDB replays it bit-for-bit (the
-    only nondeterminism is summation order; 9 dp absorbs it).
-    Small-graph local mode opted in HERE (bench registry), not by
-    library default — r3 advisor note."""
-    from ..operators.graph_analytics import pagerank
-    ents, _, _ = _doc_entities(spark, sf_dir)
-    a, b = ents.alias("a"), ents.alias("b")
-    edges = (a.join(b, "url")
-             .where(F.col("a.entity_name") < F.col("b.entity_name"))
-             .select(F.col("a.entity_name").alias("src"),
-                     F.col("b.entity_name").alias("dst"))
-             .distinct())
+    graph (operators/graph_analytics.py, fixed-point integer recipe —
+    bit-identical under any summation order, so DuckDB replays it
+    exactly). Edges are emitted in-row from the grouped incidence
+    sets (no self-join; pagerank's own sym-distinct dedups). Local
+    mode is FORCED here via the driver-known vocabulary bound — the
+    canonical alias vocabulary has v entries, so the symmetric edge
+    set is ≤ v(v-1) rows, known before any job — not silently by
+    library default (r3 advisor note)."""
+    from ..operators.gazetteer import ALIAS_ROWS
+    from ..operators.graph_analytics import inrow_pairs, pagerank
+    grouped, _, _ = _doc_entity_sets(spark, sf_dir)
+    edges = (grouped.where(F.size("ents") >= 2)
+             .select(F.explode(inrow_pairs("ents")).alias("p"))
+             .select(F.col("p.subj").alias("src"),
+                     F.col("p.obj").alias("dst")))
+    v = len({row[2] for row in ALIAS_ROWS})
     return pagerank(edges, n_iter=4, damping=0.85,
+                    force_local=v * (v - 1) <= 100_000,
                     local_max_edges=100_000)
 
 
@@ -1350,12 +1357,12 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves that (max_per_doc_hint), so the cap window costs nothing
     here — and the pytest hub test (tests/test_graph_analytics.py)
     carries the behavioral check."""
-    from ..operators.graph_analytics import pmi_edges
-    ents, n_urls, max_c = _doc_entities(spark, sf_dir)
-    return pmi_edges(ents, min_docs=2,
-                     max_entities_per_doc=_PMI_DOC_CAP,
-                     total_docs=n_urls, max_per_doc_hint=max_c,
-                     assume_distinct=True)
+    from ..operators.graph_analytics import pmi_edges_from_docsets
+    grouped, n_urls, max_c = _doc_entity_sets(spark, sf_dir)
+    return pmi_edges_from_docsets(grouped, min_docs=2,
+                                  max_entities_per_doc=_PMI_DOC_CAP,
+                                  total_docs=n_urls,
+                                  max_per_doc_hint=max_c)
 
 
 def _sql_pmi() -> str:
