@@ -223,9 +223,12 @@ def kmeans_centroids(
     """Deterministic Lloyd's k-means over L2-normalized vectors →
     (centroid_id, centroid array<double>).
 
-    - init: the ``n_centroids`` vectors with the smallest
-      xxhash64(id) — a seedless deterministic sample, stable across
-      cluster sizes;
+    - init: the ``n_centroids`` vectors with the smallest md5 hex
+      digest of the id string — a seedless deterministic sample,
+      stable across cluster sizes AND engine-portable (md5 of a UTF-8
+      string is bit-identical in Spark, DuckDB, Python — unlike
+      xxhash64, whose seed/variant is Spark-specific — which is what
+      lets q_knn_ivf carry a full value-exact DuckDB oracle);
     - assign: one join against the BROADCAST centroid table (the
       standard IVF pattern — centroids are k×dim, megabytes even at
       k=65k), nearest by squared L2 with centroid-id tiebreak via a
@@ -237,10 +240,10 @@ def kmeans_centroids(
         F.col(id_col).alias("id"),
         _l2_normalize(F.col(vec_col)).alias("v"))
     centroids = (
-        norm.orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+        norm.orderBy(F.md5(F.col("id").cast("string")), "id")
         .limit(n_centroids).select("id", "v")
         .withColumn("cid", F.row_number().over(
-            Window.orderBy(F.xxhash64(F.col("id").cast("string")), "id")) - 1)
+            Window.orderBy(F.md5(F.col("id").cast("string")), "id")) - 1)
         .select("cid", F.col("v").alias("centroid"))
     )
     for _ in range(n_iter):

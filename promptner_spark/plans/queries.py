@@ -745,10 +745,15 @@ FROM ranked WHERE rank <= {_KNN_K}"""
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (rows-only: the 2-iteration Lloyd
-    quantizer has no workable SQL closed form; output is nonetheless
-    deterministic — seedless hash init, struct-min assignment — and
-    recall vs exact q_knn is gated in pytest)."""
+    """IVF coarse-quantizer ANN. Value-exact since round 4: the
+    2-iteration Lloyd quantizer is deterministic (seedless md5-hex
+    init — engine-portable, unlike r3's Spark-specific xxhash64 —
+    struct-min assignment, fixed iteration count), so the DuckDB
+    oracle replays it as an unrolled CTE chain (the _sql_pagerank
+    pattern): init → [assign → per-dim mean → empty-cluster
+    carry]×2 → corpus/probe list assignment → candidate equi-join →
+    exact-cosine ranking. Approximate recall vs exact q_knn is
+    additionally gated in pytest."""
     e = _emb(spark, sf_dir)
     out = similarity.ivf_topk(
         e, e.where(F.col("vec_id") < _KNN_QUERIES), k=_KNN_K,
@@ -757,6 +762,89 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"))
+
+
+def _sql_knn_ivf(n_centroids: int = 8, nprobe: int = 4,
+                 n_iter: int = 2, dim: int = 64) -> str:
+    """DuckDB replay of similarity.kmeans_centroids + ivf_topk as one
+    unrolled CTE chain (fixed iteration count ⇒ SQL-expressible, the
+    _sql_pagerank pattern). Faithful to the Spark recipe step by step:
+    md5-hex init order, squared-L2 elementwise sum over normalized
+    vectors, (d, cid)-lexicographic argmin, per-dimension AVG update
+    with empty-cluster carry, rk≤1 corpus lists / rk≤nprobe probes,
+    exact cosine over the ORIGINAL vectors, (sim desc, neighbor_id)
+    ranking."""
+    # elementwise squared-L2 as a vectorized list expression; list_sum
+    # is a sequential left-to-right fold (verified: list_sum([1e16,
+    # 1.0, -1e16, 1.0]) = 1.0), i.e. the same summation order as the
+    # Spark side's F.aggregate fold in operators/similarity._sq_dist.
+    # (An earlier correlated generate_series subquery was value-equal
+    # but re-executed per (vector, centroid) row — 200+ s at sf0.001.)
+    sqd = ("list_sum(list_transform(list_zip(n.nv, c.centroid), "
+           "x -> (x[1] - x[2]) ^ 2))")
+    parts = [f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+norm AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+  FROM e),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             - 1 AS cid,
+         nv AS centroid
+  FROM norm
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_centroids})"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT n.vec_id, c.cid, {sqd} AS d
+  FROM norm n CROSS JOIN c{i - 1} c),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{i}) WHERE rn = 1),
+m{i} AS (
+  SELECT a.cid, s.i AS dim, AVG(n.nv[s.i]) AS m
+  FROM a{i} a JOIN norm n USING (vec_id)
+  CROSS JOIN generate_series(1, {dim}) s(i)
+  GROUP BY a.cid, s.i),
+u{i} AS (SELECT cid, list(m ORDER BY dim) AS centroid
+         FROM m{i} GROUP BY cid),
+c{i} AS (
+  SELECT * FROM u{i}
+  UNION ALL
+  SELECT c.cid, c.centroid FROM c{i - 1} c
+  WHERE c.cid NOT IN (SELECT cid FROM u{i}))""")
+    parts.append(f""",
+df AS (
+  SELECT n.vec_id, c.cid, {sqd} AS d
+  FROM norm n CROSS JOIN c{n_iter} c),
+rkd AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM df),
+lists AS (SELECT vec_id AS neighbor_id, cid FROM rkd WHERE rn <= 1),
+probes AS (SELECT vec_id AS query_id, cid FROM rkd
+           WHERE vec_id < {_KNN_QUERIES} AND rn <= {nprobe}),
+cand AS (
+  SELECT DISTINCT p.query_id, l.neighbor_id
+  FROM lists l JOIN probes p USING (cid)
+  WHERE p.query_id <> l.neighbor_id),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id, {_SQL_COS} AS sim
+  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+               JOIN e c ON c.vec_id = cd.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id
+FROM ranked WHERE rank <= {_KNN_K}""")
+    return "".join(parts)
 
 
 _EMBDUP_N_PLANES, _EMBDUP_N_TABLES, _EMBDUP_MIN_SIM = 8, 4, 0.8
@@ -1500,6 +1588,7 @@ ORACLE_SQL = {
     "q_pmi": _sql_pmi(),
     "q_nil_merge": _sql_nil_merge(),
     "q_warc_roundtrip": _sql_warc_roundtrip(),
-    # q_pipeline_triples, q_knn_ivf: rows-only (no SQL closed form:
-    # multiword n-th-occurrence alignment / iterative quantizer)
+    "q_knn_ivf": _sql_knn_ivf(),
+    # q_pipeline_triples: rows-only (no SQL closed form: multiword
+    # n-th-occurrence alignment inside the inference UDF chain)
 }
