@@ -175,17 +175,44 @@ def release_caches(df: DataFrame) -> None:
         cached.unpersist()
 
 
+def _enrich_resolution(out: DataFrame) -> DataFrame:
+    """Vocabulary-side canonicalization: every per-surface derivation
+    the KG stages need — canonical ``entity_name``, the stable
+    ``entity_key`` (alias id, or the NIL hash-space id for unlinked
+    surfaces), and ``eid`` (xxhash64 of the name, the integer that
+    rides through the pair-emission shuffle instead of the name
+    string) — is computed HERE, on the O(vocab) dictionary, so the
+    broadcast join attaches them to the trillion-row mention stream
+    for free and the corpus-wide stages never evaluate a regexp or
+    md5 per mention (VERDICT r3: piggyback the int dictionary on the
+    resolution job instead of a second corpus agg)."""
+    from ..functions.hashing import portable_hash
+    from .triples import NIL_ID_OFFSET
+
+    ename = F.coalesce(F.col("canonical_name"), F.col("m_norm"))
+    return out.withColumn("entity_name", ename).withColumn(
+        "entity_key",
+        F.when(F.col("entity_id").isNotNull(), F.col("entity_id"))
+        .otherwise(NIL_ID_OFFSET
+                   + F.pmod(portable_hash(F.col("m_norm")),
+                            F.lit(NIL_ID_OFFSET))),
+    ).withColumn("eid", F.xxhash64("entity_name"))
+
+
 def build_resolution(mentions: DataFrame, aliases: DataFrame,
                      fuzzy: bool = True) -> DataFrame:
     """Surface-vocabulary resolution dictionary: one row per distinct
     normalized surface, with its resolved entity (exact alias match
     first, MinHash-LSH fuzzy fallback) or NULLs for NIL surfaces.
 
-    Columns: (m_norm, entity_id, canonical_name, alias_norm, prior).
+    Columns: (m_norm, entity_id, canonical_name, alias_norm, prior,
+    entity_name, entity_key, eid) — the last three precomputed
+    vocabulary-side by :func:`_enrich_resolution`.
 
-    The persisted vocabulary handle is attached to the returned
-    DataFrame (``_promptner_caches``); callers release it with
-    :func:`release_caches` once the resolution has been materialized.
+    The persisted vocabulary and resolution handles are attached to
+    the returned DataFrame (``_promptner_caches``); callers release
+    them with :func:`release_caches` once the resolution has been
+    materialized.
     """
     # Persisted: (a) the vocabulary is read by the exact, fuzzy and NIL
     # branches — one distinct pass over the mention stream instead of
@@ -204,6 +231,7 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
     exact = vocab.join(F.broadcast(aliases),
                        vocab["m_norm"] == aliases["alias_norm"], "left")
     if not fuzzy:
+        exact = _enrich_resolution(exact)
         exact._promptner_caches = (vocab,)  # type: ignore[attr-defined]
         return exact
     hit = exact.where(F.col("entity_id").isNotNull())
@@ -219,9 +247,18 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
         F.lit(None).cast("string").alias("alias_norm"),
         F.lit(None).cast("double").alias("prior"),
     )
-    out = hit.select("m_norm", "entity_id", "canonical_name",
-                     "alias_norm", "prior").unionByName(fz).unionByName(nil)
-    out._promptner_caches = (vocab,)  # type: ignore[attr-defined]
+    out = _enrich_resolution(
+        hit.select("m_norm", "entity_id", "canonical_name",
+                   "alias_norm", "prior").unionByName(fz).unionByName(nil))
+    # Persisted + eagerly filled: the dictionary is read by the main
+    # broadcast-back join AND by the (vocab-sized) eid→name dictionary
+    # emit_triples uses to reattach names post-aggregation — without
+    # the boundary the multi-stage fuzzy chain above would re-run per
+    # consumer, each re-run a string of tiny serial stages that dilute
+    # scaling (Amdahl) at high parallelism.
+    out = out.persist()
+    out.count()
+    out._promptner_caches = (vocab, out)  # type: ignore[attr-defined]
     return out
 
 
@@ -270,4 +307,7 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame,
         ).drop("m_norm_key", "m_norm")
     out._promptner_caches = getattr(  # type: ignore[attr-defined]
         resolution, "_promptner_caches", ())
+    # The (persisted, vocab-sized) dictionary handle: emit_triples
+    # derives its eid→name broadcast from it without a corpus pass.
+    out._promptner_resolution = resolution  # type: ignore[attr-defined]
     return out

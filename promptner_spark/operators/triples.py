@@ -70,10 +70,20 @@ def canonicalize(linked: DataFrame, nil_merge: bool = False,
     surface ⇒ same id); with ``nil_merge`` near-duplicate NIL surfaces
     are first merged by :func:`nil_components` (broadcast of the
     vocabulary-sized representative map — the mention stream still
-    never shuffles)."""
+    never shuffles).
+
+    When the input already carries (entity_key, entity_name) — the
+    linking dictionary precomputed them vocabulary-side
+    (linking._enrich_resolution) — this is a no-op: the corpus-wide
+    stream pays zero per-row regexp/hash work here."""
     from ..functions.hashing import portable_hash
     from .linking import norm_surface
 
+    if not nil_merge and {"entity_key", "entity_name"} <= set(linked.columns):
+        return linked
+    # nil_merge rewrites NIL names/keys, so any precomputed columns
+    # (and the eid derived from the un-merged name) are stale.
+    linked = linked.drop("entity_key", "entity_name", "eid")
     nrm = norm_surface(F.col("surface"))
     if nil_merge:
         reps = nil_components(linked, min_jaccard=min_jaccard)
@@ -104,19 +114,35 @@ def nodes_table(canonical: DataFrame) -> DataFrame:
     )
 
 
-def emit_triples(canonical: DataFrame) -> DataFrame:
+def emit_triples(canonical: DataFrame,
+                 name_dict: DataFrame | None = None) -> DataFrame:
     """Sentence-scoped co-occurrence pairs → triples table
     (schema.TRIPLES). ``subj < obj`` by canonical name for a stable
     orientation.
 
     ONE shuffle: ``groupBy(url, sent_id).collect_set`` gathers the
-    distinct entity names per sentence, and the (i < j) pairs are
+    distinct entities per sentence, and the (i < j) pairs are
     generated in-row from the sorted set (nested transform + flatten)
     — no distinct pass and no self-join. Fanout is bounded by
     per-sentence entity count (O(10)), so the generated array never
     blows a row; at web scale this halves the exchanges of the
     equivalent distinct+self-join plan and cannot skew (the key is the
-    fine-grained sentence, never the entity)."""
+    fine-grained sentence, never the entity).
+
+    ``name_dict`` (vocabulary-sized rows of (eid, entity_name), e.g.
+    derived from the linking resolution dictionary) enables the
+    narrow-shuffle variant: when the input also carries ``eid``
+    (xxhash64 of the canonical name, precomputed vocabulary-side by
+    the linking dictionary), the collect_set / pair Generate move
+    8-byte longs instead of name strings, and names are reattached
+    AFTER aggregation by two broadcast-hash joins against the
+    dictionary — orientation restored with least/greatest. Same rows
+    out; the corpus-wide exchange carries a fraction of the bytes,
+    which is what the memory-bandwidth-bound reduce stage scales
+    with. Without ``name_dict`` (or when ``eid`` is absent) the
+    string plan runs — the DuckDB-oracle-replayable form."""
+    if name_dict is not None and "eid" in canonical.columns:
+        return _emit_triples_keyed(canonical, name_dict)
     sets = canonical.groupBy("url", "sent_id").agg(
         F.sort_array(F.collect_set("entity_name")).alias("ents"))
     n = F.size("ents")
@@ -139,6 +165,50 @@ def emit_triples(canonical: DataFrame) -> DataFrame:
             F.col("p.obj").alias("obj"),
             "url", "sent_id",
         )
+    )
+
+
+def _emit_triples_keyed(canonical: DataFrame,
+                        name_dict: DataFrame) -> DataFrame:
+    """Long-keyed pair emission (see :func:`emit_triples`): distinct
+    eids per sentence through the exchange, unordered (i < j by eid)
+    pairs in-row, names reattached post-explode by broadcast and the
+    subj < obj (by name) orientation applied last. eid↔name is a
+    bijection up to a 64-bit hash collision within the entity
+    vocabulary — negligible at any real vocabulary size and absent at
+    test scale (the parity test asserts exact equality with the
+    string plan).
+
+    Unlike the string plan's nested transform/flatten (higher-order
+    functions are CodegenFallback — interpreted per row, measured as
+    the KG reduce stage's CPU hog), the pairs here come from two
+    chained ``explode``s (GenerateExec, whole-stage codegen): element
+    i paired with every element after it via ``slice``. No
+    ``sort_array`` either — the pair set is order-independent and the
+    subj/obj orientation is applied by name at the end."""
+    sets = canonical.groupBy("url", "sent_id").agg(
+        F.collect_set("eid").alias("ents"))
+    s1 = (
+        sets.where(F.size("ents") >= 2)
+        .select("url", F.col("sent_id").cast("int").alias("sent_id"),
+                "ents", F.posexplode("ents").alias("i", "ea"))
+    )
+    exploded = s1.select(
+        "url", "sent_id", "ea",
+        F.explode(F.slice("ents", F.col("i") + 2, F.size("ents")))
+        .alias("eb"),
+    )
+    d = name_dict.select(F.col("eid").alias("_k"),
+                         F.col("entity_name").alias("_n"))
+    na = exploded.join(F.broadcast(d), F.col("ea") == F.col("_k")) \
+        .withColumnRenamed("_n", "name_a").drop("_k")
+    nb = na.join(F.broadcast(d), F.col("eb") == F.col("_k")) \
+        .withColumnRenamed("_n", "name_b").drop("_k")
+    return nb.select(
+        F.least("name_a", "name_b").alias("subj"),
+        F.lit(PRED_COOCCUR).alias("pred"),
+        F.greatest("name_a", "name_b").alias("obj"),
+        "url", "sent_id",
     )
 
 

@@ -141,7 +141,14 @@ def build_pipeline(
     # outputs repeatedly should use run_pipeline, which checkpoints.
     canonical = triples_op.canonicalize(linked, nil_merge=nil_merge)
     nodes = triples_op.nodes_table(canonical)
-    trips = triples_op.emit_triples(canonical)
+    # eid→name dictionary for the narrow-shuffle pair emission: a
+    # vocabulary-sized distinct over the (persisted) resolution
+    # dictionary — no corpus pass. nil_merge rewrites names, so the
+    # precomputed eids are stale there and the string plan runs.
+    resolution = getattr(linked, "_promptner_resolution", None)
+    name_dict = (resolution.select("eid", "entity_name").distinct()
+                 if resolution is not None and not nil_merge else None)
+    trips = triples_op.emit_triples(canonical, name_dict=name_dict)
     counts = triples_op.triple_counts(trips)
     return PipelineResult(pages, sentences, mentions, linked, nodes,
                           trips, counts, cached=cached)

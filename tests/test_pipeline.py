@@ -56,6 +56,33 @@ def test_triples_partition_invariant(spark, sf_dir):
     assert len(ra) > 0
 
 
+def test_emit_triples_keyed_equals_string_plan(spark, sf_dir):
+    """The long-keyed pair emission (eids through the exchange, names
+    reattached post-agg by broadcast) is a pure physical optimization:
+    exact same triple rows as the oracle-replayable string plan."""
+    from promptner_spark.operators import linking, triples as triples_op
+    from promptner_spark.operators.infer import extract_mentions
+    from promptner_spark.sources.pages import pages_with_extracted_text
+    from promptner_spark.sources.sentences import split_sentences
+
+    sentences = split_sentences(pages_with_extracted_text(spark, sf_dir))
+    mentions = extract_mentions(sentences).persist()
+    mentions.count()
+    linked = linking.link_mentions(mentions, linking.alias_df(spark))
+    resolution = linked._promptner_resolution
+    canonical = triples_op.canonicalize(linked)
+    assert "eid" in canonical.columns   # vocab-side precompute arrived
+    name_dict = resolution.select("eid", "entity_name").distinct()
+    keyed = triples_op.emit_triples(canonical, name_dict=name_dict)
+    plain = triples_op.emit_triples(canonical.drop("eid"))
+    cols = ["subj", "pred", "obj", "url", "sent_id"]
+    rk, rp = _rows(keyed, cols), _rows(plain, cols)
+    mentions.unpersist()
+    linking.release_caches(linked)
+    assert rk == rp
+    assert len(rk) > 0
+
+
 def test_run_pipeline_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     from promptner_spark.plans.checkpoint import stage_is_complete
     from promptner_spark.plans.pipeline import run_pipeline
