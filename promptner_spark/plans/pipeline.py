@@ -116,10 +116,25 @@ def build_pipeline(
     # verification stage is a second mapInPandas with NO join — the
     # text column exists only between the two UDF stages and is
     # dropped before linking.
+    # Post-UDF repartition by url BEFORE caching: the Python stage
+    # erases partitioning metadata (MapInPandas output is
+    # UnknownPartitioning — the UDF could emit anything), so without
+    # this the KG pair emission pays a corpus-wide (url, sent_id)
+    # exchange. HashPartitioning(url) on the cached relation satisfies
+    # the groupBy(url, sent_id) clustering (subset rule), so the whole
+    # KG stage — final collect_set, pair Generate, name reattach,
+    # write — runs exchange-free straight off the cache. The one
+    # mention-stream exchange this adds happens HERE, inside the
+    # embarrassingly-parallel build phase, where it scales; it also
+    # mirrors run_pipeline's url-hash bucketed layout. url is a page
+    # key — per-key volume is one page's mentions, so no skew.
+    n_parts = (partitions if partitions is not None
+               else spark.sparkContext.defaultParallelism)
     base_mentions = extract_mentions(
         sentences, spec=spec, partitions=partitions,
         backend_factory=backend_factory,
-        carry=("text",) if with_verify else ()).persist()
+        carry=("text",) if with_verify else ()) \
+        .repartition(n_parts, "url").persist()
     if eager_cache:
         # Fill the cache NOW, in one job, before any branch hangs off
         # it (see docstring: concurrent-stage duplicate fill race).
