@@ -8,11 +8,15 @@
   SURVEY.md §2 (see promptner_spark/plans/queries.py for the paired
   DuckDB closed forms and the cross-engine determinism rules;
   COVERAGE.md maps every inventory row to query + test).
-- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query; the only keys
-  absent (q_pipeline_triples, q_knn_ivf) are beyond a SQL closed form
-  (multiword n-th-occurrence alignment; iterative k-means quantizer)
-  and get the driver's rows-only check — each is additionally pinned
-  by pytest gates (golden replay + triple P/R; recall+determinism).
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query — ALL 36
+  queries are value-exact (rows + schema + value hash). The last two
+  holdouts closed in round 4: q_knn_ivf via an md5-seeded quantizer
+  replayed as an unrolled Lloyd CTE, q_pipeline_triples via a closed
+  form of the full chunk→align→link→canonicalize→count chain (the
+  reference's -1 alignment quirk collapses to a last-multiword-writer
+  rule; the fuzzy LSH runs the md5 band family the oracle replays —
+  tests/test_pipeline_oracle.py pins the quirk semantics on a crafted
+  corpus the sf data never exercises).
 """
 
 from __future__ import annotations

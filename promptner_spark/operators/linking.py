@@ -83,6 +83,7 @@ def link_fuzzy_candidates(
     band_size: int = 4,
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """J2: MinHash-LSH candidate generation for surfaces with no exact
     alias hit, verified by true Jaccard. Join key is (band_id,
@@ -94,13 +95,21 @@ def link_fuzzy_candidates(
     than the mention stream at web scale (Zipf), so this turns an
     O(mentions) hash bill into an O(vocab) one. Output: one best
     candidate per distinct ``m_norm``; callers join it back on the
-    norm key."""
+    norm key.
+
+    ``portable=True`` switches the band-hash family from xxhash64 to
+    the md5 family a DuckDB oracle can replay exactly (same firewall
+    as :func:`fuzzy_surface_pairs`); the banding is an LSH config, not
+    a semantics change, and all work here is O(vocab)."""
+    from ..functions.hashing import minhash_bands
+
     vocab = unlinked.select(
         norm_surface(F.col("surface")).alias("m_norm")).distinct()
+    bands_fn = minhash_bands if portable else fast_minhash_bands
 
     def with_bands(df: DataFrame, col: str, out: str) -> DataFrame:
         sh = char_shingles(F.col(col), shingle_k)
-        return df.withColumn(out, fast_minhash_bands(sh, n_hashes, band_size))
+        return df.withColumn(out, bands_fn(sh, n_hashes, band_size))
 
     m = with_bands(vocab, "m_norm", "m_bands").select(
         "m_norm", F.posexplode("m_bands").alias("band_id", "band_hash"))
@@ -200,7 +209,8 @@ def _enrich_resolution(out: DataFrame) -> DataFrame:
 
 
 def build_resolution(mentions: DataFrame, aliases: DataFrame,
-                     fuzzy: bool = True) -> DataFrame:
+                     fuzzy: bool = True,
+                     portable_fuzzy: bool = False) -> DataFrame:
     """Surface-vocabulary resolution dictionary: one row per distinct
     normalized surface, with its resolved entity (exact alias match
     first, MinHash-LSH fuzzy fallback) or NULLs for NIL surfaces.
@@ -237,7 +247,8 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
     hit = exact.where(F.col("entity_id").isNotNull())
     miss = exact.where(F.col("entity_id").isNull()).select("m_norm")
     fz = link_fuzzy_candidates(
-        miss.withColumnRenamed("m_norm", "surface"), aliases
+        miss.withColumnRenamed("m_norm", "surface"), aliases,
+        portable=portable_fuzzy,
     ).withColumn("prior", F.lit(None).cast("double")) \
         .select("m_norm", "entity_id", "canonical_name", "alias_norm", "prior")
     nil = miss.join(fz.select("m_norm"), "m_norm", "left_anti").select(
@@ -265,7 +276,8 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
 def link_mentions(mentions: DataFrame, aliases: DataFrame,
                   fuzzy: bool = True,
                   max_broadcast_vocab: int | None = None,
-                  salt: int = 16) -> DataFrame:
+                  salt: int = 16,
+                  portable_fuzzy: bool = False) -> DataFrame:
     """Full linking: exact broadcast join with LSH fuzzy fallback.
     Output adds entity_id / canonical_name (nullable — NIL mentions
     stay unlinked for canonicalization by co-reference).
@@ -285,7 +297,8 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame,
     salted on row identity) so a pathological vocabulary still links —
     key histogram flattened exactly like :func:`link_exact_salted`.
     ``None`` skips the (vocab-sized) count and always broadcasts."""
-    resolution = build_resolution(mentions, aliases, fuzzy=fuzzy)
+    resolution = build_resolution(mentions, aliases, fuzzy=fuzzy,
+                                  portable_fuzzy=portable_fuzzy)
     keyed = mentions.withColumn("m_norm_key", norm_surface(F.col("surface")))
     if max_broadcast_vocab is not None and \
             resolution.count() > max_broadcast_vocab:

@@ -65,6 +65,7 @@ def build_pipeline(
     eager_cache: bool = True,
     vocab_scale: int = 1,
     backend_factory=None,
+    portable_fuzzy: bool = False,
 ) -> PipelineResult:
     """Build the pipeline DAG. ``resolve_disputes`` (with
     ``with_verify``) enables the C8 third-query resolution in the
@@ -145,7 +146,11 @@ def build_pipeline(
             base_mentions, resolve_disputes=resolve_disputes,
         ).withColumn("type", F.col("type_final")).drop(
             "type_verified", "type_final", "text")
-    linked = linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link)
+    # portable_fuzzy: md5-family LSH bands in the fuzzy fallback so a
+    # DuckDB oracle can replay the banding exactly (q_pipeline_triples'
+    # value-exact check); an O(vocab) config knob, default off.
+    linked = linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link,
+                                   portable_fuzzy=portable_fuzzy)
     cached = (base_mentions,
               *getattr(linked, "_promptner_caches", ()))
     # NOT persisted: since emit_triples became a single groupBy pass,

@@ -1024,16 +1024,199 @@ FROM events GROUP BY event_type"""
 # ---------------------------------------------------- full pipeline (no SQL)
 def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multiword-gazetteer KG pipeline (sentence chunking, SP1
-    subsequence quirks, fuzzy linking). Non-SQL-expressible — the
-    n-th-occurrence/-1-index alignment semantics have no closed form;
-    covered by golden replay + property tests instead."""
+    subsequence quirks, fuzzy linking, canonicalization, co-occurrence
+    triple counting) — value-exact vs :func:`_sql_pipeline_triples`.
+
+    ``portable_fuzzy`` switches the fuzzy-linking LSH band hash from
+    xxhash64 to the md5 family DuckDB replays exactly (the q_knn_ivf
+    pattern: an engine-portable config choice on an O(vocab) code
+    path, not a semantics change — parity with the fast family is
+    pinned by tests/test_pipeline_oracle.py)."""
     from .pipeline import build_pipeline
-    res = build_pipeline(spark, sf_dir)   # eager_cache fills up front
+    res = build_pipeline(spark, sf_dir,   # eager_cache fills up front
+                         portable_fuzzy=True)
     _defer_release(*res.cached)
     return res.triple_counts.select(
         "subj", "pred", "obj",
         F.col("n_sents").cast("long").alias("n_sents"),
         F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def _sql_pipeline_triples(sent_tokens: int = 25) -> str:
+    """DuckDB closed form of the WHOLE default pipeline. Derivation
+    (each step mirrors the engine stage named in the comment):
+
+    - ``chunks``: sources/sentences.py::split_sentences — 25-token
+      windows; join-then-resplit is the identity on a space-split
+      token list, so the window's token slice is used directly.
+    - ``sw``/``mw``: operators/model.py::GazetteerBackend._extract —
+      single words propose their FIRST token occurrence (dedup by
+      word), phrases their first contiguous-run start; answer order =
+      (first index, gazetteer order). Because the backend dedups, each
+      answer's ``claimed`` count in oracle/align.py::align_spans is
+      always 0 → every n-th lookup is n=1.
+    - ``wr``/``tagw``: the align_spans loop collapses to a closed
+      form. A phrase occurring ONCE tags B at its start and I across
+      the run; occurring MORE than once triggers the reference's
+      utils.py:33-34 quirk (nth_subsequence_start → -1): B lands on
+      the LAST token (tags[-1]) and the I-loop wraps to tokens
+      0..width-2 (algorithms.py:119-129 has no -1 guard). Single
+      words write only onto 'O' (algorithms.py:106), multiword spans
+      overwrite freely — so the final tag at a position is the LAST
+      multiword writer covering it in answer order, else the (unique)
+      single-word writer at that position.
+    - ``spans``: oracle/spans.py::tags_to_mentions — B starts a span,
+      I continues iff the previous token carried the same type
+      (orphan I starts a new span).
+    - ``vocab``→``res``: operators/linking.py::build_resolution —
+      exact broadcast alias join, then MinHash-LSH fuzzy fallback
+      (md5 band family, portable_fuzzy) with true-Jaccard ≥ 0.5
+      verify and (jaccard DESC, entity_id ASC) best-candidate pick;
+      NIL surfaces canonicalize to their normalized surface
+      (operators/triples.py::canonicalize).
+    - ``pairs``: triples.py::emit_triples / triple_counts — distinct
+      canonical names per sentence, unordered pairs subj < obj,
+      n_sents = co-occurring sentence count, n_docs = distinct urls.
+    """
+    from ..operators.gazetteer import GAZETTEER
+
+    gaz_vals = ", ".join(
+        f"('{s}', '{t}', {i}, {len(s.split(' '))})"
+        for i, (s, t) in enumerate(GAZETTEER.items()))
+    bands_vals = ", ".join(
+        f"({i}, {b})" for i, b in enumerate(_sql_char_minhash_bands()))
+    k = sent_tokens
+    return f"""
+WITH pages AS (
+  SELECT concat('https://ex.com/', CAST(doc_id AS VARCHAR)) AS url, text
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+pgaz(surface, gtype, gorder, width) AS (VALUES {gaz_vals}),
+{DUCKDB_ALIASES_CTE},
+ptoks AS (SELECT url, string_split(text, ' ') AS toks FROM pages),
+chunks AS (
+  SELECT url,
+         CAST(unnest(range(0, CAST(ceil(len(toks) / {k}.0) AS BIGINT)))
+              AS INTEGER) AS sent_id,
+         toks FROM ptoks),
+cw AS (SELECT url, sent_id,
+              list_slice(toks, sent_id * {k} + 1, sent_id * {k} + {k}) AS w
+       FROM chunks),
+sw AS (
+  SELECT c.url, c.sent_id,
+         CAST(list_position(c.w, g.surface) - 1 AS INTEGER) AS first_idx,
+         g.gorder, g.gtype
+  FROM cw c JOIN pgaz g
+    ON g.width = 1 AND list_contains(c.w, g.surface)),
+mw0 AS (
+  SELECT c.url, c.sent_id, g.gtype, g.gorder, g.width,
+         CAST(len(c.w) AS INTEGER) AS n_words,
+         list_filter(range(1, len(c.w) - g.width + 2),
+                     i -> array_to_string(
+                            list_slice(c.w, CAST(i AS INTEGER),
+                                       CAST(i AS INTEGER) + g.width - 1),
+                            ' ') = g.surface) AS starts
+  FROM cw c JOIN pgaz g ON g.width > 1),
+mw AS (SELECT url, sent_id, gtype, gorder, width, n_words,
+              CAST(starts[1] - 1 AS INTEGER) AS first_idx,
+              len(starts) AS n_occ
+       FROM mw0 WHERE len(starts) > 0),
+wr AS (
+  SELECT url, sent_id, first_idx * 1000 + gorder AS ord, is_multi,
+         unnest(writes) AS wx
+  FROM (
+    SELECT url, sent_id, first_idx, gorder, 1 AS is_multi,
+           CASE WHEN n_occ = 1 THEN
+             list_prepend(
+               struct_pack(pos := first_idx, tag := 'B-' || gtype),
+               list_transform(range(first_idx + 1, first_idx + width),
+                 j -> struct_pack(pos := CAST(j AS INTEGER),
+                                  tag := 'I-' || gtype)))
+           ELSE
+             list_prepend(
+               struct_pack(pos := n_words - 1, tag := 'B-' || gtype),
+               list_transform(range(0, width - 1),
+                 j -> struct_pack(pos := CAST(j AS INTEGER),
+                                  tag := 'I-' || gtype)))
+           END AS writes
+    FROM mw
+    UNION ALL
+    SELECT url, sent_id, first_idx, gorder, 0,
+           [struct_pack(pos := first_idx, tag := 'B-' || gtype)]
+    FROM sw)),
+tagw AS (
+  SELECT url, sent_id, wx.pos AS pos,
+         coalesce(max_by(wx.tag, ord) FILTER (is_multi = 1),
+                  min_by(wx.tag, ord) FILTER (is_multi = 0)) AS tag
+  FROM wr GROUP BY url, sent_id, wx.pos),
+tok AS (
+  SELECT url, sent_id,
+         CAST(unnest(range(0, len(w))) AS INTEGER) AS pos,
+         unnest(w) AS token
+  FROM cw),
+tagged AS (
+  SELECT t.url, t.sent_id, t.pos, t.token, coalesce(g.tag, 'O') AS tag,
+         lag(coalesce(g.tag, 'O'))
+           OVER (PARTITION BY t.url, t.sent_id ORDER BY t.pos) AS ptag
+  FROM tok t LEFT JOIN tagw g
+    ON g.url = t.url AND g.sent_id = t.sent_id AND g.pos = t.pos),
+spans AS (
+  SELECT url, sent_id, pos, token,
+         sum(CASE WHEN tag LIKE 'B-%' THEN 1
+                  WHEN ptag IS NULL OR ptag = 'O'
+                    OR substr(ptag, 3) <> substr(tag, 3) THEN 1
+                  ELSE 0 END)
+           OVER (PARTITION BY url, sent_id ORDER BY pos) AS span_id
+  FROM tagged WHERE tag <> 'O'),
+ments AS (
+  SELECT url, sent_id,
+         {_sql_norm_surface("string_agg(token, ' ' ORDER BY pos)")} AS m_norm
+  FROM spans GROUP BY url, sent_id, span_id),
+vocab AS (SELECT DISTINCT m_norm FROM ments),
+exact AS (
+  SELECT v.m_norm, a.entity_id, a.canonical_name
+  FROM vocab v LEFT JOIN aliases a ON v.m_norm = a.alias_norm),
+msh AS (SELECT m_norm, {_sql_char_shingles('m_norm')} AS sh
+        FROM exact WHERE entity_id IS NULL),
+mbands AS (SELECT m_norm, band_id, digest
+           FROM msh, LATERAL (VALUES {bands_vals}) AS b(band_id, digest)),
+ash AS (SELECT alias_norm, entity_id, canonical_name,
+               {_sql_char_shingles('alias_norm')} AS sh
+        FROM aliases),
+abands AS (SELECT alias_norm, entity_id, canonical_name, band_id, digest
+           FROM ash, LATERAL (VALUES {bands_vals}) AS b(band_id, digest)),
+cand AS (
+  SELECT DISTINCT m.m_norm, a.entity_id, a.canonical_name, a.alias_norm
+  FROM mbands m JOIN abands a
+    ON m.band_id = a.band_id AND m.digest = a.digest),
+fz AS (
+  SELECT m_norm, canonical_name FROM (
+    SELECT j.m_norm, j.canonical_name,
+           row_number() OVER (PARTITION BY j.m_norm
+                              ORDER BY j.j DESC, j.entity_id ASC) AS rk
+    FROM (SELECT c.m_norm, c.entity_id, c.canonical_name,
+                 len(list_intersect(ms.sh, asx.sh))::DOUBLE /
+                 (len(ms.sh) + len(asx.sh)
+                  - len(list_intersect(ms.sh, asx.sh))) AS j
+          FROM cand c
+          JOIN msh ms ON ms.m_norm = c.m_norm
+          JOIN ash asx ON asx.alias_norm = c.alias_norm) j
+    WHERE j.j >= 0.5) WHERE rk = 1),
+res AS (
+  SELECT e.m_norm,
+         coalesce(e.canonical_name, f.canonical_name, e.m_norm)
+           AS entity_name
+  FROM exact e LEFT JOIN fz f ON f.m_norm = e.m_norm),
+sent_ents AS (
+  SELECT DISTINCT m.url, m.sent_id, r.entity_name
+  FROM ments m JOIN res r ON r.m_norm = m.m_norm),
+pairs AS (
+  SELECT a.entity_name AS subj, b.entity_name AS obj, a.url
+  FROM sent_ents a JOIN sent_ents b
+    ON a.url = b.url AND a.sent_id = b.sent_id
+   AND a.entity_name < b.entity_name)
+SELECT subj, 'cooccurs_with' AS pred, obj,
+       count(*) AS n_sents, count(DISTINCT url) AS n_docs
+FROM pairs GROUP BY subj, obj"""
 
 
 def q_verified_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1589,6 +1772,5 @@ ORACLE_SQL = {
     "q_nil_merge": _sql_nil_merge(),
     "q_warc_roundtrip": _sql_warc_roundtrip(),
     "q_knn_ivf": _sql_knn_ivf(),
-    # q_pipeline_triples: rows-only (no SQL closed form: multiword
-    # n-th-occurrence alignment inside the inference UDF chain)
+    "q_pipeline_triples": _sql_pipeline_triples(),
 }
