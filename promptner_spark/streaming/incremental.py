@@ -46,6 +46,23 @@ store present and rewrote every row every micro-batch):
 With an Iceberg catalog the merge becomes a MERGE INTO on the triples
 table (plans/checkpoint.py::write_stage_iceberg gate) and Iceberg's
 snapshot commit subsumes the pointer file.
+
+Snapshots (r4): every merge additionally records its pointer as
+``<store>/snapshots/v<n>.json`` — Iceberg's snapshot/metadata model
+on the parquet stand-in. Because bucket dirs are immutable and a
+merge re-versions ONLY touched buckets, consecutive snapshots share
+the untouched buckets' files (structural sharing — retention costs
+O(touched), not O(store)). That gives, exactly as on an Iceberg
+table:
+
+- **time travel**: ``read_store(spark, store, version=n)``;
+- **incremental reads**: ``snapshot_diff`` prunes to buckets whose
+  version CHANGED between two snapshots, so a downstream consumer of
+  a 10⁴-bucket edge table reads a few files per crawl drop, never
+  the corpus-wide table;
+- **retention**: ``expire_snapshots(store, keep_last=k)`` deletes old
+  snapshot files and sweeps bucket dirs no retained snapshot
+  references (Iceberg's expire_snapshots).
 """
 
 from __future__ import annotations
@@ -110,11 +127,59 @@ def _write_pointer(store_dir: str, ptr: dict) -> None:
     os.replace(tmp, _pointer_path(store_dir))
 
 
+def _snapshots_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "snapshots")
+
+
+def _snapshot_path(store_dir: str, version: int) -> str:
+    return os.path.join(_snapshots_dir(store_dir), f"v{version}.json")
+
+
+def _load_snapshot(store_dir: str, version: int) -> dict | None:
+    try:
+        with open(_snapshot_path(store_dir, version)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _retained_snapshots(store_dir: str) -> list[int]:
+    """Versions with a snapshot file on disk, ascending."""
+    try:
+        names = os.listdir(_snapshots_dir(store_dir))
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                out.append(int(n[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
 def _sweep_orphans(store_dir: str, ptr: dict | None) -> None:
-    """Remove staging leftovers + data dirs no pointer references —
-    debris from a crash between dir-promotion and pointer publish.
-    Best-effort; referenced dirs are never touched."""
+    """Remove staging leftovers + data dirs neither the pointer nor
+    any RETAINED COMMITTED snapshot references — debris from a crash
+    between dir-promotion and pointer publish, or buckets released by
+    expire_snapshots. A snapshot file NEWER than the committed pointer
+    is itself crash debris (written just before a commit that never
+    happened) and is deleted, so it cannot pin orphan dirs or block
+    the re-merge's dir promotion. Best-effort; referenced dirs are
+    never touched."""
+    committed_v = (ptr or {}).get("version", 0)
     live = set((ptr or {}).get("buckets", {}).values())
+    for v in _retained_snapshots(store_dir):
+        if v > committed_v:   # uncommitted leftover
+            try:
+                os.remove(_snapshot_path(store_dir, v))
+            except FileNotFoundError:
+                pass
+            continue
+        snap = _load_snapshot(store_dir, v)
+        if snap:
+            live.update(snap.get("buckets", {}).values())
     data = os.path.join(store_dir, "data")
     if os.path.isdir(data):
         for name in os.listdir(data):
@@ -126,14 +191,112 @@ def _sweep_orphans(store_dir: str, ptr: dict | None) -> None:
             shutil.rmtree(os.path.join(store_dir, name), ignore_errors=True)
 
 
-def read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
-    """Current cumulative counts (subj, pred, obj, n_sents, n_docs),
-    or None when no version has been published yet."""
-    ptr = _load_pointer(store_dir)
+def read_store(spark: SparkSession, store_dir: str,
+               version: int | None = None) -> DataFrame | None:
+    """Cumulative counts (subj, pred, obj, n_sents, n_docs) as of the
+    CURRENT commit, or — time travel — as of snapshot ``version``.
+    None when that version was never published; ValueError when it
+    existed but has been expired (the Iceberg contract: expired
+    snapshots are gone, not silently remapped)."""
+    if version is None:
+        ptr = _load_pointer(store_dir)
+    else:
+        ptr = _load_snapshot(store_dir, version)
+        if ptr is None:
+            cur = _load_pointer(store_dir)
+            if cur is not None and version <= cur.get("version", 0):
+                raise ValueError(
+                    f"snapshot v{version} has been expired "
+                    f"(retained: {_retained_snapshots(store_dir)})")
+            return None
     if not ptr or not ptr["buckets"]:
         return None
     paths = [os.path.join(store_dir, rel) for rel in ptr["buckets"].values()]
     return spark.read.parquet(*paths)
+
+
+def snapshot_diff(spark: SparkSession, store_dir: str,
+                  v_old: int, v_new: int) -> DataFrame:
+    """Incremental read between two retained snapshots: per-triple
+    count deltas (subj, pred, obj, d_sents, d_docs), rows only where
+    something changed.
+
+    Bucket-pruned: because a merge re-versions only touched buckets,
+    any triple whose counts changed lives in a bucket whose dir name
+    DIFFERS between the snapshots — only those buckets are read, on
+    both sides. A downstream consumer of a 10⁴-bucket store therefore
+    pays O(crawl drop), not O(edge table), per sync — the parquet
+    stand-in for Iceberg's incremental snapshot scan."""
+    old = _load_snapshot(store_dir, v_old)
+    new = _load_snapshot(store_dir, v_new)
+    for v, p in ((v_old, old), (v_new, new)):
+        if p is None:
+            raise ValueError(
+                f"snapshot v{v} not retained "
+                f"(retained: {_retained_snapshots(store_dir)})")
+    ob, nb = old["buckets"], new["buckets"]
+    changed = [k for k in set(ob) | set(nb) if ob.get(k) != nb.get(k)]
+
+    def side(ptr_buckets: dict, alias: str) -> DataFrame | None:
+        paths = [os.path.join(store_dir, ptr_buckets[k])
+                 for k in changed if k in ptr_buckets]
+        if not paths:
+            return None
+        df = spark.read.parquet(*paths)
+        return df.select(
+            *KEY_COLS, *[F.col(c).alias(f"{alias}_{c}") for c in COUNT_COLS])
+
+    o, n = side(ob, "o"), side(nb, "n")
+    if o is None and n is None:
+        empty = spark.createDataFrame(
+            [], "subj string, pred string, obj string, "
+                "d_sents long, d_docs long")
+        return empty
+    if o is None:
+        joined = n
+        for c in COUNT_COLS:
+            joined = joined.withColumn(f"o_{c}", F.lit(None).cast("long"))
+    elif n is None:
+        joined = o
+        for c in COUNT_COLS:
+            joined = joined.withColumn(f"n_{c}", F.lit(None).cast("long"))
+    else:
+        joined = o.join(n, list(KEY_COLS), "full_outer")
+    deltas = {c: "d_" + c.split("_", 1)[1] for c in COUNT_COLS}
+    out = joined.select(
+        *KEY_COLS,
+        *[(F.coalesce(F.col(f"n_{c}"), F.lit(0))
+           - F.coalesce(F.col(f"o_{c}"), F.lit(0))).alias(d)
+          for c, d in deltas.items()],
+    )
+    cond = None
+    for d in deltas.values():
+        nz = F.col(d) != 0
+        cond = nz if cond is None else (cond | nz)
+    return out.where(cond)
+
+
+def expire_snapshots(store_dir: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshot files (the
+    snapshot CURRENT points at is always kept), then sweep bucket
+    dirs no retained snapshot references. Returns expired versions —
+    Iceberg's expire_snapshots on the stand-in layout."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    ptr = _load_pointer(store_dir)
+    current_v = (ptr or {}).get("version")
+    retained = _retained_snapshots(store_dir)
+    keep = set(retained[-keep_last:])
+    if current_v is not None:
+        keep.add(current_v)
+    expired = [v for v in retained if v not in keep]
+    for v in expired:
+        try:
+            os.remove(_snapshot_path(store_dir, v))
+        except FileNotFoundError:
+            pass
+    _sweep_orphans(store_dir, ptr)
+    return expired
 
 
 def merge_counts(store_dir: str, batch_counts: DataFrame,
@@ -163,12 +326,18 @@ def merge_counts(store_dir: str, batch_counts: DataFrame,
                      for r in batch.select("bucket").distinct().collect())
     if not touched:
         if ptr is not None and batch_id is not None:
+            # no data change: bump last_batch_id in place, no new
+            # version, no new snapshot (the live snapshot keeps its
+            # original batch_id — only `buckets` matters to readers)
             ptr["last_batch_id"] = batch_id
             _write_pointer(store_dir, ptr)
         elif ptr is None:
-            _write_pointer(store_dir, {
-                "version": version, "n_buckets": n_buckets,
-                "buckets": {}, "last_batch_id": batch_id})
+            empty_ptr = {"version": version, "n_buckets": n_buckets,
+                         "buckets": {}, "last_batch_id": batch_id}
+            os.makedirs(_snapshots_dir(store_dir), exist_ok=True)
+            with open(_snapshot_path(store_dir, version), "w") as fh:
+                json.dump(empty_ptr, fh)
+            _write_pointer(store_dir, empty_ptr)
         return True
 
     buckets = dict((ptr or {}).get("buckets", {}))
@@ -203,8 +372,17 @@ def merge_counts(store_dir: str, batch_counts: DataFrame,
         "last_batch_id": batch_id if batch_id is not None
         else (ptr or {}).get("last_batch_id"),
     }
+    # snapshot file BEFORE the commit: inert until CURRENT references
+    # this version (a crash here leaves a harmless extra file the next
+    # merge's version bump skips past; the data dirs it references are
+    # exactly the committed pointer's + this batch's, both live)
+    os.makedirs(_snapshots_dir(store_dir), exist_ok=True)
+    with open(_snapshot_path(store_dir, version), "w") as fh:
+        json.dump(new_ptr, fh)
     _write_pointer(store_dir, new_ptr)          # ← the atomic commit
-    # old versions of the touched buckets are now unreferenced
+    # versions of the touched buckets referenced by NO retained
+    # snapshot are now unreferenced (with snapshots retained this
+    # sweeps nothing until expire_snapshots runs)
     _sweep_orphans(store_dir, new_ptr)
     return True
 

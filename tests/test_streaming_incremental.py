@@ -121,13 +121,22 @@ def test_merge_crash_before_pointer_publish_keeps_old_store(
         spark, [("a", "p", "b", 1, 1)]), batch_id=1) is True
     assert _counts_dict(inc.read_store(spark, store)) == {
         ("a", "p", "b"): (4, 3)}
-    # crash debris (unreferenced data dirs, staging) was swept
+    # crash debris (staging, data dirs referenced by NO retained
+    # snapshot) was swept; dirs still referenced by retained
+    # snapshots are legitimately on disk until expire_snapshots
     import os
     ptr = inc._load_pointer(store)
     live = set(ptr["buckets"].values())
+    for v in inc._retained_snapshots(store):
+        live.update(inc._load_snapshot(store, v)["buckets"].values())
     on_disk = {f"data/{n}" for n in os.listdir(os.path.join(store, "data"))}
     assert on_disk == live
     assert not [n for n in os.listdir(store) if n.startswith(".staging_")]
+    # after retention is dropped to just the current snapshot the
+    # store shrinks to exactly the pointer's dirs
+    inc.expire_snapshots(store, keep_last=1)
+    on_disk = {f"data/{n}" for n in os.listdir(os.path.join(store, "data"))}
+    assert on_disk == set(ptr["buckets"].values())
 
 
 def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
@@ -172,3 +181,91 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
     got = _counts_dict(inc.read_store(spark, store))
     assert got[("s0", "p", "o0")] == (6, 3)
     assert got[("s1", "p", "o1")] == (2, 1)
+
+
+def test_snapshot_time_travel_and_structural_sharing(spark, tmp_path):
+    """Every merge is a retained snapshot: read_store(version=n)
+    reproduces the store as of that commit (Iceberg time travel on
+    the stand-in layout), and consecutive snapshots SHARE untouched
+    buckets' dirs (retention costs O(touched), not O(store))."""
+    import promptner_spark.streaming.incremental as inc
+
+    store = str(tmp_path / "store")
+    drop1 = _counts_df(spark, [(f"s{i}", "p", f"o{i}", i + 1, 1)
+                               for i in range(20)])
+    inc.merge_counts(store, drop1, batch_id=0)
+    v1 = _counts_dict(inc.read_store(spark, store))
+
+    inc.merge_counts(store, _counts_df(
+        spark, [("s0", "p", "o0", 5, 2)]), batch_id=1)
+    v2 = _counts_dict(inc.read_store(spark, store))
+    assert v2 != v1
+
+    # time travel: v1 is still byte-readable after the v2 commit
+    assert _counts_dict(inc.read_store(spark, store, version=1)) == v1
+    assert _counts_dict(inc.read_store(spark, store, version=2)) == v2
+    # never-published version → None
+    assert inc.read_store(spark, store, version=9) is None
+
+    # structural sharing: the two snapshots point at the SAME dirs
+    # for every bucket the second merge did not touch
+    s1 = inc._load_snapshot(store, 1)["buckets"]
+    s2 = inc._load_snapshot(store, 2)["buckets"]
+    shared = [k for k in s1 if s2.get(k) == s1[k]]
+    changed = [k for k in s2 if s1.get(k) != s2[k]]
+    assert len(changed) == 1, "one-subject batch touches one bucket"
+    assert shared, "untouched buckets must be shared, not copied"
+
+
+def test_snapshot_diff_is_bucket_pruned_incremental_read(spark, tmp_path):
+    """snapshot_diff returns exactly the per-triple deltas between two
+    commits, reading ONLY buckets whose version changed — the
+    incremental-consumer path (Iceberg incremental scan)."""
+    import promptner_spark.streaming.incremental as inc
+
+    store = str(tmp_path / "store")
+    inc.merge_counts(store, _counts_df(
+        spark, [(f"s{i}", "p", f"o{i}", i + 1, 1) for i in range(20)]),
+        batch_id=0)
+    drop2 = [("s0", "p", "o0", 5, 2), ("brand", "p", "new", 7, 4)]
+    inc.merge_counts(store, _counts_df(spark, drop2), batch_id=1)
+
+    diff = {(r["subj"], r["pred"], r["obj"]): (r["d_sents"], r["d_docs"])
+            for r in inc.snapshot_diff(spark, store, 1, 2).collect()}
+    # the diff IS the second drop's contribution, nothing else
+    assert diff == {("s0", "p", "o0"): (5, 2), ("brand", "p", "new"): (7, 4)}
+
+    # diffing against an unretained snapshot is an explicit error
+    with pytest.raises(ValueError, match="not retained"):
+        inc.snapshot_diff(spark, store, 0, 2)
+
+
+def test_expire_snapshots_releases_dirs_but_keeps_current(spark, tmp_path):
+    """expire_snapshots drops old snapshot files and sweeps the bucket
+    dirs only they referenced; the current commit stays readable and
+    an expired version raises (Iceberg expire contract)."""
+    import os
+
+    import promptner_spark.streaming.incremental as inc
+
+    store = str(tmp_path / "store")
+    for b, rows in enumerate((
+            [(f"s{i}", "p", f"o{i}", i + 1, 1) for i in range(20)],
+            [("s0", "p", "o0", 1, 1)],
+            [("s1", "p", "o1", 2, 1)])):
+        inc.merge_counts(store, _counts_df(spark, rows), batch_id=b)
+    cur = _counts_dict(inc.read_store(spark, store))
+    assert inc._retained_snapshots(store) == [1, 2, 3]
+
+    expired = inc.expire_snapshots(store, keep_last=1)
+    assert expired == [1, 2]
+    assert inc._retained_snapshots(store) == [3]
+    # current commit unaffected
+    assert _counts_dict(inc.read_store(spark, store)) == cur
+    # the store shrank to exactly the live dirs
+    ptr = inc._load_pointer(store)
+    on_disk = {f"data/{n}" for n in os.listdir(os.path.join(store, "data"))}
+    assert on_disk == set(ptr["buckets"].values())
+    # expired time travel is an explicit error, not silent remap
+    with pytest.raises(ValueError, match="expired"):
+        inc.read_store(spark, store, version=1)
