@@ -188,15 +188,21 @@ def embedding_near_dup_pairs(
     ).select("id", "vec", F.col("tb.tbl").alias("tbl"),
              F.col("tb.bucket").alias("bucket"))
     x, y = b.alias("x"), b.alias("y")
+    # Cosine BEFORE the pair dedup: a pair colliding in k tables gets
+    # the verify computed k (≤ n_tables) times — O(dim) codegen, cheap
+    # — but the dedup exchange then moves (long, long, double) rows
+    # instead of two full vectors per candidate, and the min_sim
+    # filter prunes it first. At web scale the dedup shuffle is the
+    # bill; duplicate map-side arithmetic is not. Output identical
+    # (cosine is deterministic per pair, so duplicate rows are
+    # byte-equal and dropDuplicates keeps the same values).
     return (
         x.join(y, ["tbl", "bucket"])
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
-                F.col("x.vec").alias("vec_a"), F.col("y.vec").alias("vec_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b",
-                cosine(F.col("vec_a"), F.col("vec_b")).alias("sim"))
+                cosine(F.col("x.vec"), F.col("y.vec")).alias("sim"))
         .where(F.col("sim") >= min_sim)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
