@@ -134,3 +134,36 @@ def test_band_families_diverge_only_as_lsh_false_negatives(spark):
     assert [(r["m_norm"], r["canonical_name"]) for r in port] == \
         [("customers", "Customer")]
     assert fast == []   # the documented xxhash64 false negative
+
+
+def test_random_quirk_dense_corpus_matches_oracle(spark, tmp_path):
+    """Seeded-random corpus stress: 60 docs sampled from a vocabulary
+    DENSE in gazetteer words, phrase fragments, and full phrases, with
+    doc lengths straddling the 25-token chunk boundary — so phrase
+    repeats, quirk spans, chunk-edge splits, and overwrite collisions
+    occur in combinations the hand-crafted cases don't enumerate. The
+    Spark pipeline and the DuckDB closed form must agree row-for-row."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = (["spark", "customer", "table", "column", "merge", "filter",
+              "window", "hash", "join", "scan", "sort", "batch", "stream",
+              "alpha", "beta", "gamma", "delta", "w1", "w2", "w3"]
+             + ["hash join", "table scan", "sort merge"] * 3)
+    rows = []
+    for doc_id in range(60):
+        n = rng.choice([3, 10, 24, 25, 26, 40, 60])
+        toks = []
+        while len(toks) < n:
+            toks.extend(rng.choice(vocab).split(" "))
+        text = " ".join(toks[:n])
+        rows.append({"doc_id": doc_id, "text": text, "lang": "en",
+                     "source": "rand", "n_chars": len(text)})
+    d = tmp_path / "rand_sf"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(str(d / "documents.parquet"))
+
+    got = _spark_rows(spark, str(d))
+    want = _oracle_rows(str(d))
+    assert got, "corpus must produce triples"
+    assert got == want
