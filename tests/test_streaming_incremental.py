@@ -269,3 +269,22 @@ def test_expire_snapshots_releases_dirs_but_keeps_current(spark, tmp_path):
     # expired time travel is an explicit error, not silent remap
     with pytest.raises(ValueError, match="expired"):
         inc.read_store(spark, store, version=1)
+
+
+def test_iceberg_merge_gate_and_statement_shape(spark):
+    """No Iceberg catalog in the sandbox: the upgrade path must refuse
+    loudly (never silently fall back), and the MERGE it would issue
+    must be the key-wise additive upsert the parquet merge emulates."""
+    import promptner_spark.streaming.incremental as inc
+
+    with pytest.raises(RuntimeError, match="no Iceberg catalog"):
+        inc.merge_counts_iceberg(
+            _counts_df(spark, [("a", "p", "b", 1, 1)]), "cat.db.triples")
+
+    sql = inc._iceberg_merge_sql("cat.db.triples", "src")
+    assert "MERGE INTO cat.db.triples t USING src s" in sql
+    assert "t.subj = s.subj AND t.pred = s.pred AND t.obj = s.obj" in sql
+    assert "t.n_sents = t.n_sents + s.n_sents" in sql
+    assert "t.n_docs = t.n_docs + s.n_docs" in sql
+    assert ("INSERT (subj, pred, obj, n_sents, n_docs) "
+            "VALUES (s.subj, s.pred, s.obj, s.n_sents, s.n_docs)") in sql
