@@ -181,6 +181,7 @@ def run_pipeline(
     partitions: int | None = None,
     fuzzy_link: bool = True,
     n_buckets: int = 16,
+    pages_source=None,
 ) -> PipelineResult:
     """Materialized, resume-from-checkpoint pipeline (north_rule).
 
@@ -197,9 +198,14 @@ def run_pipeline(
       bucket instead of scanning the corpus-wide edge table.
     Nodes and aliases stay unpartitioned (vocabulary-sized)."""
     url_bucket = F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    # pages_source: alternative corpus reader returning the pages
+    # shape (url, warc_ts, lang, text, ...) — e.g. sources.warc::
+    # pages_from_warc for a crawl directory (the __main__ CLI wires
+    # this); default is the synthetic parquet corpus at sf_dir.
     pages = run_stage(
         spark, checkpoint_root, "pages",
-        lambda: pages_with_extracted_text(spark, sf_dir))
+        pages_source if pages_source is not None
+        else (lambda: pages_with_extracted_text(spark, sf_dir)))
     sentences = run_stage(
         spark, checkpoint_root, "sentences",
         lambda: split_sentences(pages))

@@ -1,0 +1,45 @@
+"""`python -m promptner_spark` CLI (promptner_spark/__main__.py): the
+spark-submit-shaped operational entry. In-process invocation (main())
+so the session fixture is reused; the argv surface is exactly what a
+cluster operator types."""
+
+from __future__ import annotations
+
+import gzip
+
+from tests.test_warc_source import _http, _record
+
+
+def test_cli_parquet_run_and_resume(spark, sf_dir, tmp_path):
+    from promptner_spark.__main__ import main
+
+    ckpt = str(tmp_path / "ckpt")
+    argv = ["--sf-dir", sf_dir, "--checkpoint", ckpt,
+            "--shuffle-partitions", "4"]
+    s1 = main(argv)
+    assert s1["stages"]["triple_counts"] > 0
+    assert s1["stages"]["mentions"] > 0
+
+    # resume: same command re-reads completed stages (counts identical)
+    # after poisoning the source path — proof nothing recomputes
+    s2 = main(["--sf-dir", str(tmp_path / "nonexistent"),
+               "--checkpoint", ckpt, "--shuffle-partitions", "4"])
+    assert s2["stages"] == s1["stages"]
+
+
+def test_cli_warc_ingest(spark, tmp_path):
+    from promptner_spark.__main__ import main
+
+    body = b"<html><body><p>spark feeds a hash join and a window</p></body></html>"
+    warc = (_record("warcinfo", None, "2024-01-01T00:00:00Z", b"x")
+            + _record("response", "https://ex.com/1",
+                      "2024-01-01T00:00:01Z", _http(body)))
+    p = tmp_path / "crawl-00000.warc.gz"
+    p.write_bytes(gzip.compress(warc))
+
+    s = main(["--warc", str(tmp_path / "*.warc.gz"),
+              "--checkpoint", str(tmp_path / "ckpt"),
+              "--shuffle-partitions", "4", "--buckets", "4"])
+    assert s["stages"]["pages"] == 1
+    # "spark", "hash join", "window" co-occur in the one sentence
+    assert s["stages"]["triple_counts"] == 3
