@@ -8,6 +8,7 @@ fixed in operators/linking.py).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -52,21 +53,26 @@ def test_pipeline_mention_stream_never_sort_merge_joined(spark, sf_dir):
     assert "SortMergeJoin [m_norm_key" not in plan
 
 
-def test_fuzzy_bands_stay_above_vocab_aggregate(spark, sf_dir):
+@pytest.mark.parametrize("portable", [False, True])
+def test_fuzzy_bands_stay_above_vocab_aggregate(spark, sf_dir, portable):
     """Regression for the predicate-pushdown pathology: the MinHash
     band expression must appear only ABOVE the vocabulary distinct
     (InMemoryRelation boundary), never in the pre-aggregate scan of
-    the raw mention stream."""
+    the raw mention stream. Parametrized over BOTH band families —
+    the barrier is the persist, and q_pipeline_triples runs the
+    portable (md5) family, so it must hold there too."""
     from promptner_spark.operators import linking
     from promptner_spark.plans.queries import _oracle_mentions
 
     m = _oracle_mentions(spark, sf_dir)
-    res = linking.build_resolution(m, linking.alias_df(spark), fuzzy=True)
+    res = linking.build_resolution(m, linking.alias_df(spark), fuzzy=True,
+                                   portable_fuzzy=portable)
     optimized = res._jdf.queryExecution().optimizedPlan().toString()
     # the vocab cache boundary exists
     assert "InMemoryRelation" in optimized
+    band_marker = "md5" if portable else "xxhash64"
     for line in optimized.splitlines():
-        if "xxhash64" in line:
+        if band_marker in line:
             # any band computation must be above an InMemoryRelation
             # scan, i.e. no Aggregate appears BELOW it in its subtree —
             # cheap structural proxy: band exprs and the raw mention
