@@ -88,8 +88,55 @@ def fingerprint(text: Column) -> Column:
     return F.array_min(F.transform(grams, lambda g: portable_hash(g, 7)))
 
 
+def token_ngrams(text: Column, n: int = 2) -> Column:
+    """ORDERED token n-grams WITH duplicates (unlike
+    hashing.token_shingles, which distincts — repetition statistics
+    need the multiset); texts shorter than n tokens yield themselves,
+    mirroring the shingle convention."""
+    toks = F.split(text, " ")
+    m = F.size(toks)
+    return F.when(m < n, F.array(text)).otherwise(
+        F.transform(F.sequence(F.lit(1), m - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Gopher-style duplicate n-gram fraction: share of n-gram
+    OCCURRENCES that are repeats of an earlier occurrence
+    (1 - distinct/total). Pure in-row codegen — no explode, no
+    shuffle; at corpus scale this is a map-only quality signal."""
+    g = token_ngrams(text, n)
+    return ((F.size(g) - F.size(F.array_distinct(g)))
+            / F.size(g).cast("double"))
+
+
+def top_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Gopher-style top n-gram fraction: occurrences of the single
+    most frequent n-gram / total n-grams. Computed IN-ROW as the
+    longest equal-run of the SORTED n-gram array via a struct-
+    accumulator fold — max run length of a sorted multiset IS the max
+    multiplicity — so the corpus pays zero shuffle for it (the
+    explode→groupBy formulation, which the DuckDB oracle uses as the
+    closed form, would shuffle every n-gram occurrence)."""
+    g = F.array_sort(token_ngrams(text, n))
+    zero = F.lit(0).cast("int")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("best"))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"],
+                     acc["run"] + F.lit(1).cast("int")) \
+            .otherwise(F.lit(1).cast("int"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    best = F.aggregate(g, init, step, lambda a: a["best"])
+    return best / F.size(g).cast("double")
+
+
 __all__ = [
     "token_count", "bpe_ish_token_count", "avg_token_len",
     "stopword_ratio", "punct_ratio", "quality_score", "lang_id",
-    "fingerprint", "STOP_SUBSET", "ENGLISH_STOPWORDS",
+    "fingerprint", "token_ngrams", "dup_ngram_fraction",
+    "top_ngram_fraction", "STOP_SUBSET", "ENGLISH_STOPWORDS",
 ]

@@ -360,6 +360,65 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc (duplicate
+    2-/3-gram fraction, top-2-gram fraction). The Spark side is pure
+    in-row codegen — the top-gram count comes from the longest
+    equal-run of the sorted n-gram array (functions/textstats.py::
+    top_ngram_fraction), so the corpus never pays the explode+groupBy
+    shuffle the closed form implies; the DuckDB oracle computes that
+    explode+group closed form and must agree exactly."""
+    d = _docs_spread(spark, sf_dir)
+    t = F.col("text")
+
+    def scaled(c):
+        return F.round(c * 1_000_000).cast("long")
+
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(TS.token_ngrams(t, 2)).cast("long").alias("n_2grams"),
+        scaled(TS.dup_ngram_fraction(t, 2)).alias("dup2_scaled"),
+        scaled(TS.top_ngram_fraction(t, 2)).alias("top2_scaled"),
+        scaled(TS.dup_ngram_fraction(t, 3)).alias("dup3_scaled"),
+    )
+
+
+def _sql_token_ngrams(t: str, n: int) -> str:
+    """Mirror of textstats.token_ngrams (multiset, NOT distinct)."""
+    toks = f"string_split({t}, ' ')"
+    return (
+        f"(CASE WHEN len({toks}) < {n} THEN [{t}] "
+        f"ELSE list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({toks}, CAST(i AS INTEGER), "
+        f"CAST(i AS INTEGER) + {n - 1}), ' ')) END)"
+    )
+
+
+def _sql_repetition() -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, {_sql_token_ngrams('text', 2)} AS g2,
+         {_sql_token_ngrams('text', 3)} AS g3
+  FROM documents),
+base AS (
+  SELECT doc_id, g2, len(g2) AS t2, len(list_distinct(g2)) AS d2,
+         len(g3) AS t3, len(list_distinct(g3)) AS d3
+  FROM g),
+occ AS (SELECT doc_id, unnest(g2) AS gr FROM base),
+cnt AS (SELECT doc_id, max(c) AS top FROM
+          (SELECT doc_id, gr, count(*) AS c FROM occ GROUP BY doc_id, gr)
+        GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.t2 AS BIGINT) AS n_2grams,
+       CAST(round((b.t2 - b.d2) / b.t2::DOUBLE * 1000000) AS BIGINT)
+         AS dup2_scaled,
+       CAST(round(c.top / b.t2::DOUBLE * 1000000) AS BIGINT)
+         AS top2_scaled,
+       CAST(round((b.t3 - b.d3) / b.t3::DOUBLE * 1000000) AS BIGINT)
+         AS dup3_scaled
+FROM base b JOIN cnt c ON c.doc_id = b.doc_id"""
+
+
 _STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in TS.STOP_SUBSET) + "]"
 _BPE_PAT = r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\s]"
 _PUNCT_NEG = r"[^!-/:-@\[-`{-~]"
@@ -1709,6 +1768,7 @@ QUERIES = {
     "q_triples": q_triples,
     "q_span_f1": q_span_f1,
     "q_textstats": q_textstats,
+    "q_repetition": q_repetition,
     "q_quality_filter": q_quality_filter,
     "q_fingerprint": q_fingerprint,
     "q_dedup_exact": q_dedup_exact,
@@ -1749,6 +1809,7 @@ ORACLE_SQL = {
     "q_triples": _sql_triples(),
     "q_span_f1": _sql_span_f1(),
     "q_textstats": _sql_textstats(),
+    "q_repetition": _sql_repetition(),
     "q_quality_filter": _sql_quality_filter(),
     "q_fingerprint": _sql_fingerprint(),
     "q_dedup_exact": _sql_dedup_exact(),
