@@ -62,16 +62,18 @@ def main(argv: list[str] | None = None) -> dict:
         spark, args.sf_dir or "", args.checkpoint,
         partitions=args.partitions, fuzzy_link=not args.no_fuzzy,
         n_buckets=args.buckets, pages_source=pages_source)
+    del res   # every stage is checkpointed; the summary reads manifests
+    # row counts from the per-partition lineage manifests (one tiny
+    # job over kilobyte tables) — not count re-scans of the
+    # just-written stages, which on a real corpus would be six extra
+    # full parquet reads (r4 verdict)
+    from .plans.checkpoint import stage_row_counts
     summary = {
         "checkpoint": args.checkpoint,
-        "stages": {
-            "pages": res.pages.count(),
-            "sentences": res.sentences.count(),
-            "mentions": res.mentions.count(),
-            "nodes": res.nodes.count(),
-            "triples": res.triples.count(),
-            "triple_counts": res.triple_counts.count(),
-        },
+        "stages": stage_row_counts(
+            spark, args.checkpoint,
+            ["pages", "sentences", "mentions", "nodes",
+             "triples", "triple_counts"]),
     }
     print(json.dumps(summary))
     return summary

@@ -10,10 +10,11 @@ Both are expressed as pure DataFrame plans:
   ONE groupBy (sum per target) — both AQE-managed, hub skew handled
   the same way as every other hot-key agg here. Lineage is truncated
   every other iteration (localCheckpoint locally; at cluster scale the
-  materialized iteration table). Per-iteration ``round(·, 9)`` pins
-  the float trajectory so the result is reproducible bit-for-bit
-  across engines and cluster sizes (summation order is the only
-  nondeterminism; 9 dp absorbs the last-ulp differences).
+  materialized iteration table). The trajectory is int64 fixed-point
+  (scale 10^12) end to end — integer sums are exactly associative, so
+  the result is bit-identical across engines and cluster sizes by
+  construction, and the final 6-dp rounding is ALSO integer-space
+  half-up so no engine's round() semantics can leak in (r4 ADVICE).
 - :func:`pmi_edges` — pointwise mutual information per co-occurring
   entity pair: log(p(a,b) / (p(a)p(b))) over document co-occurrence.
   Entity marginals are vocabulary-sized, so they broadcast back onto
@@ -143,9 +144,17 @@ def pagerank(
         # materialization per step (r2 checkpointed every iteration).
         if checkpoint and (i % 2 == 1 or i == n_iter - 1):
             pr = pr.localCheckpoint(eager=True)
+    # Final 6-dp rounding in INTEGER space (half-up on the numerator):
+    # Python round() is half-to-even on the binary double, Spark
+    # F.round is HALF_UP on the decimal repr, DuckDB differs again —
+    # a numerator ≡ 500000 (mod 10^6) could round to different 6th
+    # decimals across the three paths (r4 ADVICE). (pr+500000) div
+    # 10^6 is exact and engine-independent; the final /1e6 is a single
+    # IEEE division on identical operands — deterministic everywhere.
     return pr.select(
         "node",
-        F.round(F.col("pr") / F.lit(float(PR_SCALE)), 6).alias("pagerank"))
+        (F.expr("(pr + 500000) div 1000000") / F.lit(1e6))
+        .alias("pagerank"))
 
 
 # int64 fixed-point scale for PageRank numerators. 10^12 keeps every
@@ -169,7 +178,9 @@ def _pagerank_local(spark, sym_edges: list[tuple], n_iter: int,
     """Driver-side power iteration over an already-symmetrized edge
     list — the exact fixed-point integer recipe of the distributed
     loop (pr//deg contributions, integer sum, base + (p·sum)//q per
-    step, round(pr/PR_SCALE, 6) at the end)."""
+    step, integer half-up to 6 dp at the end — same rounding recipe
+    as the distributed select, NOT Python round(), which is
+    half-to-even and could differ on a numerator ≡ 500000 mod 10^6)."""
     from collections import defaultdict
 
     from pyspark.sql import types as T
@@ -198,7 +209,8 @@ def _pagerank_local(spark, sym_edges: list[tuple], n_iter: int,
                 acc[t] += c
         pr = {v: base + (p_num * acc[v]) // p_den for v in nodes}
     return spark.createDataFrame(
-        [(v, round(pr[v] / PR_SCALE, 6)) for v in nodes], schema)
+        [(v, ((pr[v] + 500_000) // 1_000_000) / 1e6) for v in nodes],
+        schema)
 
 
 def pmi_edges(doc_entities: DataFrame, min_docs: int = 2,

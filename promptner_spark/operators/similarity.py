@@ -241,7 +241,20 @@ def kmeans_centroids(
       struct-min aggregate (no window);
     - update: per-dimension mean via posexplode → groupBy(centroid,
       dim) → re-assembled with sort_array (two bounded shuffles per
-      iteration; empty clusters keep their previous centroid)."""
+      iteration; empty clusters keep their previous centroid).
+
+    The per-dimension mean is computed in FIXED-POINT integer space
+    (coordinate → floor(x·10⁹ + 0.5) as int64, exact order-independent
+    integer SUM, one deterministic double division, half-up back to
+    9 dp): a plain F.avg combines per-partition partial sums in
+    arbitrary order, so centroid coordinates could differ by ulps
+    across engines and across core counts, and a near-tie in the
+    (distance, cid) argmin would then flip a list assignment —
+    the same failure class the PageRank operator eliminated with
+    int64 fixed-point (r4 ADVICE item). floor(x+0.5) rather than
+    round(): floor on a double is exact and identical in Spark,
+    DuckDB and Python, while round() differs (HALF_UP on decimal
+    repr vs half-to-even vs banker's) across the three."""
     norm = embeddings.select(
         F.col(id_col).alias("id"),
         _l2_normalize(F.col(vec_col)).alias("v"))
@@ -263,8 +276,15 @@ def kmeans_centroids(
             .select("id", "v", F.col("best.cid").alias("cid"))
         )
         dims = assigned.select(
-            "cid", F.posexplode("v").alias("dim", "x"))
-        means = dims.groupBy("cid", "dim").agg(F.avg("x").alias("m"))
+            "cid", F.posexplode("v").alias("dim", "x")).select(
+            "cid", "dim",
+            F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5))
+            .cast("long").alias("xs"))
+        # order-independent mean: exact int64 sum, single double
+        # division, half-up to 9 dp in integer space (see docstring)
+        means = dims.groupBy("cid", "dim").agg(
+            (F.floor(F.sum("xs").cast("double") / F.count(F.lit(1))
+                     + F.lit(0.5)) / F.lit(1e9)).alias("m"))
         updated = means.groupBy("cid").agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("dim", "m"))),

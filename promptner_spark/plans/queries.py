@@ -829,8 +829,10 @@ def _sql_knn_ivf(n_centroids: int = 8, nprobe: int = 4,
     unrolled CTE chain (fixed iteration count ⇒ SQL-expressible, the
     _sql_pagerank pattern). Faithful to the Spark recipe step by step:
     md5-hex init order, squared-L2 elementwise sum over normalized
-    vectors, (d, cid)-lexicographic argmin, per-dimension AVG update
-    with empty-cluster carry, rk≤1 corpus lists / rk≤nprobe probes,
+    vectors, (d, cid)-lexicographic argmin, per-dimension FIXED-POINT
+    mean update (int64-scaled, order-independent — see
+    similarity.kmeans_centroids) with empty-cluster carry,
+    rk≤1 corpus lists / rk≤nprobe probes,
     exact cosine over the ORIGINAL vectors, (sim desc, neighbor_id)
     ranking."""
     # elementwise squared-L2 as a vectorized list expression; list_sum
@@ -865,7 +867,13 @@ a{i} AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
     FROM d{i}) WHERE rn = 1),
 m{i} AS (
-  SELECT a.cid, s.i AS dim, AVG(n.nv[s.i]) AS m
+  -- fixed-point mean, replaying kmeans_centroids exactly: int64
+  -- coordinate scale, exact SUM, one double division, half-up to
+  -- 9 dp — order-independent, so centroid coords are bit-identical
+  -- to Spark's regardless of partial-agg combine order
+  SELECT a.cid, s.i AS dim,
+         floor(CAST(SUM(CAST(floor(n.nv[s.i] * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / COUNT(*) + 0.5) / 1e9 AS m
   FROM a{i} a JOIN norm n USING (vec_id)
   CROSS JOIN generate_series(1, {dim}) s(i)
   GROUP BY a.cid, s.i),
@@ -1694,7 +1702,7 @@ deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
 nn AS (SELECT count(*) AS c FROM deg),
 pr0 AS (SELECT s AS node, {PR_SCALE} // (SELECT c FROM nn) AS pr FROM deg),
 {chain}
-SELECT node, round(CAST(pr AS DOUBLE) / {PR_SCALE}, 6) AS pagerank
+SELECT node, ((pr + 500000) // 1000000) / 1e6 AS pagerank
 FROM {prev}"""
 
 

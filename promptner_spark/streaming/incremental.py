@@ -127,6 +127,32 @@ def _write_pointer(store_dir: str, ptr: dict) -> None:
     os.replace(tmp, _pointer_path(store_dir))
 
 
+def _acquire_writer_lock(store_dir: str):
+    """Exclusive non-blocking flock on <store>/LOCK for the span of
+    one merge: the pointer protocol assumes single-writer, and before
+    r5 a double-started maintenance query would silently interleave
+    (last-writer-wins pointer, possibly dropping the other writer's
+    buckets). With the lock, the second writer fails LOUDLY instead.
+    Returns the held file object (caller closes to release), or None
+    where flock doesn't exist (non-POSIX) — there the CAS version
+    check at publish time is the remaining guard."""
+    try:
+        import fcntl
+    except ImportError:   # non-POSIX: fall back to the publish CAS
+        return None
+    fh = open(os.path.join(store_dir, "LOCK"), "w")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        fh.close()
+        raise RuntimeError(
+            f"another merge_counts holds the writer lock on "
+            f"{store_dir}: the versioned-bucket store is "
+            "single-writer (one maintenance query per store); a "
+            "second concurrent merge would race the pointer commit")
+    return fh
+
+
 def _snapshots_dir(store_dir: str) -> str:
     return os.path.join(store_dir, "snapshots")
 
@@ -301,14 +327,52 @@ def expire_snapshots(store_dir: str, keep_last: int = 1) -> list[int]:
 
 def merge_counts(store_dir: str, batch_counts: DataFrame,
                  batch_id: int | None = None,
-                 n_buckets: int = N_BUCKETS) -> bool:
+                 n_buckets: int = N_BUCKETS,
+                 lineage: str | None = None) -> bool:
     """Key-wise additive merge of one batch into the versioned bucket
     store. Returns False (no-op) when ``batch_id`` was already
     applied — the at-least-once replay guard. Only buckets the batch
-    touches are rewritten; the commit is one pointer-file replace."""
-    spark = batch_counts.sparkSession
+    touches are rewritten; the commit is one pointer-file replace.
+
+    ``lineage`` binds the store to ONE streaming-checkpoint lineage:
+    batch ids are only monotone within a single checkpoint, so a
+    stream restarted against this store with a FRESH checkpoint
+    (batch ids restart at 0) would otherwise have every batch
+    silently skipped by the high-water mark — silent data loss, not
+    an error (r4 ADVICE). With a lineage recorded, a mismatching
+    caller raises instead. The first merge that supplies a lineage
+    adopts it (upgrade path for pre-r5 stores).
+
+    Single-writer is ENFORCED, not just documented: an flock held for
+    the merge's span makes a concurrently started second merge raise
+    (see _acquire_writer_lock), and the publish re-checks the
+    committed version under the pointer replace (CAS) as the
+    defense-in-depth for filesystems without advisory locks."""
     os.makedirs(store_dir, exist_ok=True)
+    lock = _acquire_writer_lock(store_dir)
+    try:
+        return _merge_counts_locked(
+            store_dir, batch_counts, batch_id, n_buckets, lineage)
+    finally:
+        if lock is not None:
+            lock.close()
+
+
+def _merge_counts_locked(store_dir: str, batch_counts: DataFrame,
+                         batch_id: int | None, n_buckets: int,
+                         lineage: str | None) -> bool:
+    spark = batch_counts.sparkSession
     ptr = _load_pointer(store_dir)
+    if (ptr is not None and lineage is not None
+            and ptr.get("lineage") not in (None, lineage)):
+        raise RuntimeError(
+            f"store {store_dir} is bound to checkpoint lineage "
+            f"{ptr['lineage']!r} but this merge came from "
+            f"{lineage!r}: a restarted stream with a fresh "
+            "checkpointLocation restarts batch ids at 0, so its "
+            "batches would be silently skipped by the replay guard. "
+            "Resume from the original checkpoint, or start a new "
+            "store directory for the new stream.")
     if (batch_id is not None and ptr is not None
             and ptr.get("last_batch_id") is not None
             and batch_id <= ptr["last_batch_id"]):
@@ -330,10 +394,13 @@ def merge_counts(store_dir: str, batch_counts: DataFrame,
             # version, no new snapshot (the live snapshot keeps its
             # original batch_id — only `buckets` matters to readers)
             ptr["last_batch_id"] = batch_id
+            if lineage is not None:
+                ptr["lineage"] = lineage
             _write_pointer(store_dir, ptr)
         elif ptr is None:
             empty_ptr = {"version": version, "n_buckets": n_buckets,
-                         "buckets": {}, "last_batch_id": batch_id}
+                         "buckets": {}, "last_batch_id": batch_id,
+                         "lineage": lineage}
             os.makedirs(_snapshots_dir(store_dir), exist_ok=True)
             with open(_snapshot_path(store_dir, version), "w") as fh:
                 json.dump(empty_ptr, fh)
@@ -371,6 +438,8 @@ def merge_counts(store_dir: str, batch_counts: DataFrame,
         "buckets": buckets,
         "last_batch_id": batch_id if batch_id is not None
         else (ptr or {}).get("last_batch_id"),
+        "lineage": lineage if lineage is not None
+        else (ptr or {}).get("lineage"),
     }
     # snapshot file BEFORE the commit: inert until CURRENT references
     # this version (a crash here leaves a harmless extra file the next
@@ -379,12 +448,45 @@ def merge_counts(store_dir: str, batch_counts: DataFrame,
     os.makedirs(_snapshots_dir(store_dir), exist_ok=True)
     with open(_snapshot_path(store_dir, version), "w") as fh:
         json.dump(new_ptr, fh)
+    # CAS: the committed version must still be the one this merge was
+    # based on. Under the flock this cannot fire; on a filesystem
+    # without advisory locks it turns a silent last-writer-wins race
+    # into a loud abort (the losing merge's staged dirs are swept as
+    # orphans by the next merge).
+    cur = _load_pointer(store_dir)
+    if ((cur or {}).get("version", 0)) != (version - 1):
+        raise RuntimeError(
+            f"concurrent writer detected on {store_dir}: pointer "
+            f"advanced to v{(cur or {}).get('version')} while this "
+            f"merge (based on v{version - 1}) was staging; aborting "
+            "without publishing")
     _write_pointer(store_dir, new_ptr)          # ← the atomic commit
     # versions of the touched buckets referenced by NO retained
     # snapshot are now unreferenced (with snapshots retained this
     # sweeps nothing until expire_snapshots runs)
     _sweep_orphans(store_dir, new_ptr)
     return True
+
+
+def _checkpoint_lineage(checkpoint_dir: str) -> str:
+    """Identity of the streaming-checkpoint lineage batch ids are
+    monotone within: the persisted streaming QUERY id (stable across
+    restarts from the same checkpoint, fresh for a new
+    checkpointLocation — exactly the boundary at which batch ids
+    restart). Falls back to the checkpoint path when the metadata
+    file is not there yet (first micro-batch races are harmless: the
+    path changes whenever the query id would)."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            qid = json.load(fh).get("id")
+        if qid:
+            return f"qid:{qid}"
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
+    import hashlib
+
+    return "path:" + hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()
 
 
 def incremental_triple_counts(
@@ -397,13 +499,17 @@ def incremental_triple_counts(
     tail → additive merge into ``store_dir``. Returns the streaming
     query handle (caller awaits/stops). The merge records each
     batch_id in the store pointer, so a batch replayed after a crash
-    between merge and checkpoint commit is skipped, not re-added."""
+    between merge and checkpoint commit is skipped, not re-added —
+    and the store is BOUND to this checkpoint's query lineage, so
+    pointing a fresh-checkpoint stream at an existing store fails
+    loudly instead of silently skipping every restarted batch id."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         merge_counts(store_dir, batch_triple_counts(batch_df),
-                     batch_id=batch_id)
+                     batch_id=batch_id,
+                     lineage=_checkpoint_lineage(checkpoint_dir))
 
     writer = pages_stream.writeStream.foreachBatch(step) \
         .option("checkpointLocation", checkpoint_dir)
@@ -437,19 +543,25 @@ def merge_counts_iceberg(batch_counts: DataFrame, table: str,
     the time travel / incremental read / expiry that
     read_store(version=)/snapshot_diff/expire_snapshots emulate.
 
-    Idempotency caveat, stated plainly: the ``promptner.last_batch_id``
-    table property is written by a SECOND commit after the MERGE, so a
-    crash between the two re-applies one batch on restart. Production
-    hardening on Iceberg is to stamp the batch id into the MERGE's own
-    snapshot summary (write option ``snapshot-property.*`` / WAP) and
-    check the current snapshot's summary instead — left to the real
-    cluster where it can be exercised; the parquet stand-in's pointer
-    commit (batch id and data in ONE os.replace) already demonstrates
-    the exactly-once contract this module promises.
+    Idempotency is SINGLE-COMMIT (r5, closing the r4 two-commit
+    window): the batch id rides in the MERGE's OWN snapshot summary —
+    ``spark.wap.id`` is set for the duration of the statement, which
+    Iceberg stamps into the committed snapshot's summary as
+    ``wap.id`` (the write-audit-publish mechanism; with
+    ``write.wap.enabled`` unset the snapshot publishes normally and
+    the id is pure metadata). The replay guard reads the high-water
+    mark back from the ``<table>.snapshots`` metadata table, so a
+    crash anywhere leaves batch-id and data either both committed or
+    neither. The ``promptner.last_batch_id`` TBLPROPERTIES write is
+    kept as a best-effort FALLBACK marker (readable without scanning
+    snapshot summaries, e.g. by external monitors) — it is no longer
+    what the guard trusts first, so its second-commit timing is
+    harmless.
 
     Raises RuntimeError without an Iceberg catalog (same gate as
-    plans/checkpoint.py::write_stage_iceberg); pytest pins the gate
-    and the MERGE statement shape, the live path needs a cluster."""
+    plans/checkpoint.py::write_stage_iceberg); pytest pins the gate,
+    the MERGE statement shape, and the wap-id summary recipe; the
+    live path needs a cluster."""
     from ..plans.checkpoint import iceberg_available
 
     spark = batch_counts.sparkSession
@@ -458,24 +570,71 @@ def merge_counts_iceberg(batch_counts: DataFrame, table: str,
             f"no Iceberg catalog at spark.sql.catalog.{catalog}; "
             "use merge_counts (parquet stand-in) instead")
     if batch_id is not None and spark.catalog.tableExists(table):
-        props = {r["key"]: r["value"] for r in
-                 spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
-        last = props.get("promptner.last_batch_id")
-        if last is not None and batch_id <= int(last):
+        last = _iceberg_last_batch_id(spark, table)
+        if last is not None and batch_id <= last:
             return False
     view = "__promptner_batch_counts"
     batch_counts.select(
         *KEY_COLS, *[F.col(c).cast("long").alias(c) for c in COUNT_COLS]
     ).createOrReplaceTempView(view)
-    if not spark.catalog.tableExists(table):
-        cols = ", ".join((*KEY_COLS, *COUNT_COLS))
-        spark.sql(
-            f"CREATE TABLE {table} USING iceberg "
-            f"PARTITIONED BY (bucket({n_buckets}, subj)) "
-            f"AS SELECT {cols} FROM {view}")
-    else:
-        spark.sql(_iceberg_merge_sql(table, view))
+    wap_conf = "spark.wap.id"
     if batch_id is not None:
+        spark.conf.set(wap_conf, _wap_id(batch_id))
+    try:
+        if not spark.catalog.tableExists(table):
+            cols = ", ".join((*KEY_COLS, *COUNT_COLS))
+            spark.sql(
+                f"CREATE TABLE {table} USING iceberg "
+                f"PARTITIONED BY (bucket({n_buckets}, subj)) "
+                f"AS SELECT {cols} FROM {view}")
+        else:
+            spark.sql(_iceberg_merge_sql(table, view))
+    finally:
+        if batch_id is not None:
+            spark.conf.unset(wap_conf)
+    if batch_id is not None:
+        # fallback marker only — the guard above trusts the snapshot
+        # summary, which committed atomically with the data
         spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES "
                   f"('promptner.last_batch_id' = '{batch_id}')")
     return True
+
+
+_WAP_PREFIX = "promptner-batch-"
+
+
+def _wap_id(batch_id: int) -> str:
+    return f"{_WAP_PREFIX}{batch_id}"
+
+
+_SNAPSHOT_WAP_SQL = "SELECT summary['wap.id'] AS wap FROM {table}.snapshots"
+
+
+def _max_wap_batch_id(waps) -> int | None:
+    """Max batch id among snapshot-summary wap.id values this module
+    wrote; foreign/absent wap ids are ignored."""
+    ids = []
+    for wap in waps:
+        if wap and wap.startswith(_WAP_PREFIX):
+            try:
+                ids.append(int(wap[len(_WAP_PREFIX):]))
+            except ValueError:
+                pass
+    return max(ids) if ids else None
+
+
+def _iceberg_last_batch_id(spark: SparkSession, table: str) -> int | None:
+    """High-water batch id from the table's OWN snapshot summaries
+    (``wap.id`` entries this module wrote), falling back to the
+    ``promptner.last_batch_id`` table property for stores written by
+    pre-r5 code. Max over all retained snapshots rather than just the
+    current one: a compaction or other writer may have committed
+    snapshots after the last merge."""
+    rows = spark.sql(_SNAPSHOT_WAP_SQL.format(table=table)).collect()
+    last = _max_wap_batch_id(r["wap"] for r in rows)
+    if last is not None:
+        return last
+    props = {r["key"]: r["value"] for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    prop = props.get("promptner.last_batch_id")
+    return int(prop) if prop is not None else None

@@ -20,6 +20,22 @@ def test_cli_parquet_run_and_resume(spark, sf_dir, tmp_path):
     assert s1["stages"]["triple_counts"] > 0
     assert s1["stages"]["mentions"] > 0
 
+    # r5: the summary comes from the lineage manifests (one tiny job
+    # over kilobyte _manifest tables), NOT .count() re-scans of every
+    # just-written stage — and the manifest sums must equal the real
+    # row counts
+    import inspect
+
+    import promptner_spark.__main__ as cli
+
+    assert ".count()" not in inspect.getsource(cli.main)
+    assert "stage_row_counts" in inspect.getsource(cli.main)
+    import os
+    for stage, n in s1["stages"].items():
+        actual = spark.read.parquet(
+            os.path.join(ckpt, stage, "data")).count()
+        assert n == actual, (stage, n, actual)
+
     # resume: same command re-reads completed stages (counts identical)
     # after poisoning the source path — proof nothing recomputes
     s2 = main(["--sf-dir", str(tmp_path / "nonexistent"),

@@ -288,3 +288,113 @@ def test_iceberg_merge_gate_and_statement_shape(spark):
     assert "t.n_docs = t.n_docs + s.n_docs" in sql
     assert ("INSERT (subj, pred, obj, n_sents, n_docs) "
             "VALUES (s.subj, s.pred, s.obj, s.n_sents, s.n_docs)") in sql
+
+
+def test_iceberg_wap_single_commit_recipe(spark):
+    """r5: the batch id rides in the MERGE's own snapshot summary
+    (spark.wap.id → summary['wap.id']) so data and replay marker
+    commit atomically — pin the id format, the summary query shape,
+    and the high-water parse (max over all snapshots, foreign wap ids
+    ignored, property fallback only when no summary id exists)."""
+    import promptner_spark.streaming.incremental as inc
+
+    assert inc._wap_id(7) == "promptner-batch-7"
+    assert "summary['wap.id']" in inc._SNAPSHOT_WAP_SQL
+    assert inc._SNAPSHOT_WAP_SQL.format(table="cat.db.t").endswith(
+        "FROM cat.db.t.snapshots")
+    assert inc._max_wap_batch_id(
+        ["promptner-batch-3", None, "other-writer", "promptner-batch-11",
+         "promptner-batch-x"]) == 11
+    assert inc._max_wap_batch_id([None, "unrelated"]) is None
+    # the caveat is gone: merge_counts_iceberg must set spark.wap.id
+    # around the statement, not only write TBLPROPERTIES afterwards
+    import inspect
+
+    src = inspect.getsource(inc.merge_counts_iceberg)
+    assert 'spark.conf.set(wap_conf' in src
+    assert "_iceberg_last_batch_id" in src
+
+
+def test_lineage_mismatch_raises(spark, tmp_path):
+    """A stream restarted with a FRESH checkpoint restarts batch ids
+    at 0; without the lineage bind its batches would be silently
+    skipped by the high-water mark (r4 ADVICE). The store must reject
+    the foreign lineage loudly."""
+    import promptner_spark.streaming.incremental as inc
+
+    store = str(tmp_path / "store")
+    b = _counts_df(spark, [("a", "p", "b", 3, 2)])
+    assert inc.merge_counts(store, b, batch_id=5, lineage="qid:A") is True
+    # same lineage: replay guard works as before
+    assert inc.merge_counts(store, b, batch_id=5, lineage="qid:A") is False
+    # fresh checkpoint (ids restarted) = different lineage: loud error,
+    # NOT a silent False
+    with pytest.raises(RuntimeError, match="lineage"):
+        inc.merge_counts(store, b, batch_id=0, lineage="qid:B")
+    # legacy callers without lineage still merge (back-compat)
+    assert inc.merge_counts(store, _counts_df(
+        spark, [("c", "p", "d", 1, 1)]), batch_id=6) is True
+    # a pre-r5 store (no lineage recorded) adopts the first one offered
+    store2 = str(tmp_path / "store2")
+    assert inc.merge_counts(store2, b, batch_id=0) is True
+    assert inc._load_pointer(store2)["lineage"] is None
+    assert inc.merge_counts(store2, _counts_df(
+        spark, [("e", "p", "f", 1, 1)]), batch_id=1,
+        lineage="qid:C") is True
+    assert inc._load_pointer(store2)["lineage"] == "qid:C"
+    with pytest.raises(RuntimeError, match="lineage"):
+        inc.merge_counts(store2, b, batch_id=0, lineage="qid:D")
+
+
+def test_concurrent_writer_fails_loudly(spark, tmp_path):
+    """Two interleaved maintenance queries on one store: the second
+    must abort, not last-writer-win (r4 verdict Next #8). Simulated by
+    holding the writer flock while a merge attempts to run."""
+    import promptner_spark.streaming.incremental as inc
+
+    store = str(tmp_path / "store")
+    inc.merge_counts(store, _counts_df(
+        spark, [("a", "p", "b", 1, 1)]), batch_id=0)
+    held = inc._acquire_writer_lock(store)
+    assert held is not None
+    try:
+        with pytest.raises(RuntimeError, match="writer lock"):
+            inc.merge_counts(store, _counts_df(
+                spark, [("c", "p", "d", 1, 1)]), batch_id=1)
+    finally:
+        held.close()
+    # lock released: the same merge now succeeds
+    assert inc.merge_counts(store, _counts_df(
+        spark, [("c", "p", "d", 1, 1)]), batch_id=1) is True
+
+
+def test_publish_cas_detects_lockless_race(spark, tmp_path, monkeypatch):
+    """Defense-in-depth for filesystems without advisory locks: if
+    another writer advanced the pointer while this merge staged, the
+    publish must abort instead of overwriting the other commit."""
+    import promptner_spark.streaming.incremental as inc
+
+    store = str(tmp_path / "store")
+    inc.merge_counts(store, _counts_df(
+        spark, [("a", "p", "b", 1, 1)]), batch_id=0)
+    # disable the flock so the CAS is the only guard (lockless fs)
+    monkeypatch.setattr(inc, "_acquire_writer_lock", lambda d: None)
+    real_load = inc._load_pointer
+    raced = {"done": False}
+
+    def load_with_race(store_dir):
+        ptr = real_load(store_dir)
+        # simulate the interleaved writer committing AFTER this merge
+        # read its base pointer but BEFORE it publishes: bump the
+        # on-disk version once, at the CAS re-read
+        if ptr is not None and raced["done"]:
+            bumped = dict(ptr)
+            bumped["version"] = ptr["version"] + 1
+            return bumped
+        raced["done"] = True
+        return ptr
+
+    monkeypatch.setattr(inc, "_load_pointer", load_with_race)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        inc.merge_counts(store, _counts_df(
+            spark, [("c", "p", "d", 1, 1)]), batch_id=1)
