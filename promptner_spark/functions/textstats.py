@@ -69,10 +69,11 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """N-gram-free heuristic language ID: English stopword hit-rate.
-    (The synthetic corpus is English word-salad under non-en labels —
-    the operator demonstrates the plumbing + the confusion-matrix
-    evaluation path, not SOTA langid.)"""
+    """Cheapest-possible language gate: English stopword hit-rate
+    (kept as the q_textstats feature for oracle stability). The
+    MODEL-BASED scorer is functions/langid.py::lang_id_trigram —
+    per-language character-trigram profiles as literal weights,
+    in-row integer codegen, its own value-exact oracle (q_langid)."""
     return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("und"))
 
 
