@@ -35,6 +35,16 @@ full numbers in BENCH/BASELINE.md):
 
 A pure-JVM calibration probe runs at the same pair under the same
 discipline as the host ceiling reference.
+
+r5: the HEADLINE suite is self-diagnosing too — a ~2 s fixed-work
+pure-JVM probe is interleaved every PROBE_EVERY queries (samples
+stamped into the artifact as ``jvm_probe``); when the probe spread
+exceeds 25%, queries timed inside a dirty probe window OR showing
+run dispersion are re-run once and the merged best is kept, with the
+retried set recorded. The benched flagship is the PRODUCTION
+xxhash64 band family; the portable md5 family (the
+correctness-harness entry) is timed separately as
+``flagship_portable_sec``.
 """
 
 from __future__ import annotations
@@ -77,12 +87,63 @@ HEADLINE = [
     "q_knn",                # brute-force cosine top-k ANN baseline
     "q_embdup_lsh",         # hyperplane-bucketed embedding near-dup
     "q_textstats",          # text quality/langid/token analytics
+    "q_repetition",         # Gopher-style repetition signals (r5)
+    "q_langid",             # char-trigram language ID (r5)
     "q_pricing",            # TPC-H-ish Q1 aggregation
     "q_top_orders",         # TPC-H-ish Q3-like join+topk
     "q_predicates",         # lexical predicate-triple extraction
     "q_pagerank",           # iterative PageRank over the entity graph
     "q_pmi",                # PMI edge weighting
 ]
+
+# The benched flagship runs the PRODUCTION xxhash64 LSH band family;
+# the registry entry (portable md5 family, DuckDB-replayable) stays
+# the correctness-harness implementation and is ALSO timed, recorded
+# separately as flagship_portable_sec (r4 verdict Next #2).
+def _bench_impl(name):
+    from promptner_spark.plans.queries import QUERIES, q_pipeline_triples_fast
+    if name == "q_pipeline_triples":
+        return q_pipeline_triples_fast
+    return QUERIES.get(name)
+
+
+# ---- in-session host-noise probe (r4 verdict Next #1) --------------
+# The scaling campaign already carries a pure-JVM ceiling probe, but
+# the 20-query headline suite had no way to SAY "this session was
+# host-contended" — the r4 driver artifact showed 1.5-4x regressions
+# that four builder invocations of the same code never reproduced,
+# and the only forensic was the scaling runs' own spread. So: a ~2 s
+# fixed-work pure-JVM job (md5 chain + 1000-group agg, no Python, no
+# disk) runs BEFORE and AFTER the suite on the same session; its
+# samples are stamped into the artifact, and when the spread exceeds
+# PROBE_SPREAD_LIMIT the queries whose own 3 runs show contention
+# dispersion are re-run once (bounded) and the merged best is kept.
+PROBE_SPREAD_LIMIT = 0.25
+RETRY_DISPERSION = 1.8
+MAX_RETRIES = 12
+PROBE_EVERY = 4   # queries per probe window
+
+
+def _probe_once(spark) -> float:
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 24_000_000, 1, CPUS * 2).select(
+        (F.col("id") % 1000).alias("k"),
+        F.md5(F.md5(F.md5(F.md5(F.col("id").cast("string")))))
+        .alias("v"))
+    t0 = time.time()
+    (df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                         F.max("v").alias("m"))
+       .write.format("noop").mode("overwrite").save())
+    return round(time.time() - t0, 3)
+
+
+def _probe_samples(spark, n: int = 2) -> list[float]:
+    return [_probe_once(spark) for _ in range(n)]
+
+
+def _spread(samples: list[float]) -> float:
+    return round(max(samples) / min(samples) - 1.0, 3) if samples else 0.0
 
 
 def _materialize(df) -> None:
@@ -273,16 +334,26 @@ def main() -> None:
     import duckdb
     n_docs_base = duckdb.sql(
         f"select count(*) from '{SF_DIR}/documents.parquet'").fetchone()[0]
-    times_lo = _pipeline_times(SCALE_LO, SF_DIR, REPLICATE)
-    times_hi = _pipeline_times(SCALE_HI, SF_DIR, REPLICATE)
-    t_lo, t_hi = min(times_lo), min(times_hi)
-    med_lo, med_hi = _median(times_lo), _median(times_hi)
-    thr_lo = n_docs_base * REPLICATE / t_lo
-    thr_hi = n_docs_base * REPLICATE / t_hi
-    efficiency = (thr_hi / thr_lo) / (SCALE_HI / SCALE_LO)
-    efficiency_median = (med_lo / med_hi) / (SCALE_HI / SCALE_LO)
-    hw_ceiling = _hw_calibration(SCALE_LO, SCALE_HI)
-    py_ceiling = _py_calibration(SCALE_LO, SCALE_HI)
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
+        # headline-only debug mode for bench-harness iteration: the
+        # driver always runs the full protocol (this env is never set
+        # there); zeros make an accidentally-skipped artifact obvious
+        times_lo = times_hi = [0.0]
+        t_lo = t_hi = med_lo = med_hi = 1.0
+        thr_lo = thr_hi = 0.0
+        efficiency = efficiency_median = 0.0
+        hw_ceiling = py_ceiling = 0.0
+    else:
+        times_lo = _pipeline_times(SCALE_LO, SF_DIR, REPLICATE)
+        times_hi = _pipeline_times(SCALE_HI, SF_DIR, REPLICATE)
+        t_lo, t_hi = min(times_lo), min(times_hi)
+        med_lo, med_hi = _median(times_lo), _median(times_hi)
+        thr_lo = n_docs_base * REPLICATE / t_lo
+        thr_hi = n_docs_base * REPLICATE / t_hi
+        efficiency = (thr_hi / thr_lo) / (SCALE_HI / SCALE_LO)
+        efficiency_median = (med_lo / med_hi) / (SCALE_HI / SCALE_LO)
+        hw_ceiling = _hw_calibration(SCALE_LO, SCALE_HI)
+        py_ceiling = _py_calibration(SCALE_LO, SCALE_HI)
 
     extra = {"spark.driver.extraJavaOptions":
              "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "24g")}
@@ -306,27 +377,91 @@ def main() -> None:
         warm_v = build_pipeline(spark, SF_DIR, with_verify=True)
         _materialize(warm_v.mentions)
         warm_v.unpersist()
-        queries: dict[str, float] = {}
+        _probe_once(spark)               # JIT the probe plan untimed
+
+        def time_query(name: str, n_runs: int = 3) -> list[float]:
+            fn = _bench_impl(name)
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                _materialize(fn(spark, SF_DIR))
+                runs.append(round(time.time() - t0, 3))
+            return runs
+
+        # Probes are INTERLEAVED (every PROBE_EVERY queries), not just
+        # bracketing: a contention episode that spans one query's whole
+        # best-of-3 leaves all three runs uniformly slow — dispersion
+        # can't see it, but the window's probes can (measured on the
+        # first smoke of this protocol: a flagship timed 22 s in a
+        # dirty window vs 6 s clean, with run dispersion only 1.3).
+        names = [n for n in HEADLINE if _bench_impl(n) is not None]
         queries_runs: dict[str, list[float]] = {}
-        total = 0.0
-        for name in HEADLINE:
-            if name not in QUERIES:
-                continue
+        probes: list[float] = [_probe_once(spark)]
+        window_of: dict[str, int] = {}
+        for i, name in enumerate(names):
             # best-of-3, ALL runs recorded: a one-shot number folds
             # first-execution JIT/codegen of that query's generated
             # classes into the measurement (observed 3-4x one-shot
             # swings on this host; the two-python-stage verify query
             # needs a second repeat to reach steady state even after
             # the verify-shaped warm-up)
-            runs = []
+            window_of[name] = len(probes) - 1
+            queries_runs[name] = time_query(name)
+            if (i + 1) % PROBE_EVERY == 0 or i == len(names) - 1:
+                probes.append(_probe_once(spark))
+
+        # self-diagnosis: a query is suspect when its probe WINDOW was
+        # contended (either bracketing probe >25% above the session's
+        # cleanest probe) or its own runs show contention dispersion;
+        # suspects get ONE extra best-of-3, merged (bounded — and
+        # recorded, so the artifact says what happened instead of
+        # leaving a mystery regression)
+        clean = min(probes)
+        retried: list[str] = []
+        probe_retry: list[float] = []
+
+        def dirty_window(w: int) -> bool:
+            lo, hi = probes[w], probes[min(w + 1, len(probes) - 1)]
+            return max(lo, hi) > clean * (1 + PROBE_SPREAD_LIMIT)
+
+        def dispersed(runs: list[float]) -> bool:
+            # ignore the first run: it carries that query's codegen/
+            # JIT and is routinely 2-3x the steady state, which is
+            # not contention (the first smoke retried 12/20 queries
+            # off that false signal); contention shows as the LATER
+            # runs disagreeing with the best
+            steady = runs[1:] if len(runs) > 1 else runs
+            return max(steady) / min(runs) > RETRY_DISPERSION
+
+        if _spread(probes) > PROBE_SPREAD_LIMIT:
+            flagged = [n for n in names
+                       if dirty_window(window_of[n])
+                       or dispersed(queries_runs[n])]
+            for name in flagged[:MAX_RETRIES]:
+                queries_runs[name] = queries_runs[name] + time_query(name)
+                retried.append(name)
+            if retried:
+                probe_retry = _probe_samples(spark)
+
+        queries = {n: min(runs) for n, runs in queries_runs.items()}
+        total = sum(queries.values())
+        # the portable (md5 band family, oracle-replayable) flagship,
+        # timed but NOT in the headline total: the headline measures
+        # the production xxhash64 family (r4 verdict Next #2)
+        portable_runs = [0.0]
+        if "q_pipeline_triples" in QUERIES:
+            portable_runs = []
             for _ in range(3):
                 t0 = time.time()
-                _materialize(QUERIES[name](spark, SF_DIR))
-                runs.append(round(time.time() - t0, 3))
-            queries_runs[name] = runs
-            dt = min(runs)
-            queries[name] = dt
-            total += dt
+                _materialize(QUERIES["q_pipeline_triples"](spark, SF_DIR))
+                portable_runs.append(round(time.time() - t0, 3))
+        probe_block = {
+            "samples": probes,
+            "spread": _spread(probes),
+            "retried": retried,
+        }
+        if probe_retry:
+            probe_block["post_retry"] = probe_retry
     finally:
         spark.stop()
 
@@ -355,10 +490,14 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": sf,
+        "flagship_family": "xxhash64",
+        "flagship_portable_sec": round(min(portable_runs), 3),
+        "jvm_probe": probe_block,
         "pipeline_scaling": scaling_summary,
     }
     detail = dict(headline)
     detail["queries_runs"] = queries_runs
+    detail["flagship_portable_runs"] = portable_runs
     detail["pipeline_scaling"] = dict(scaling_summary)
     detail["pipeline_scaling"].update({
         f"runs_local{SCALE_LO}": [round(t, 2) for t in times_lo],

@@ -1173,6 +1173,25 @@ def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"))
 
 
+def q_pipeline_triples_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION flagship: identical plan to q_pipeline_triples
+    but with the xxhash64 LSH band family (portable_fuzzy=False) —
+    the family a real deployment runs, since it needs no md5 detour
+    through string hex. This is what bench.py times as the headline
+    flagship (r4 verdict Next #2); it is NOT in the driver QUERIES
+    registry because the DuckDB oracle replays the md5 family —
+    band-family parity is pinned instead by
+    tests/test_pipeline_oracle.py (same verified pairs on the sf
+    corpus) and the portable variant stays the correctness entry."""
+    from .pipeline import build_pipeline
+    res = build_pipeline(spark, sf_dir, portable_fuzzy=False)
+    _defer_release(*res.cached)
+    return res.triple_counts.select(
+        "subj", "pred", "obj",
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.col("n_docs").cast("long").alias("n_docs"))
+
+
 def _sql_pipeline_triples(sent_tokens: int = 25) -> str:
     """DuckDB closed form of the WHOLE default pipeline. Derivation
     (each step mirrors the engine stage named in the comment):

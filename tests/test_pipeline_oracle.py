@@ -167,3 +167,23 @@ def test_random_quirk_dense_corpus_matches_oracle(spark, tmp_path):
     want = _oracle_rows(str(d))
     assert got, "corpus must produce triples"
     assert got == want
+
+
+def test_bench_fast_flagship_matches_registry_entry(spark, sf_dir):
+    """bench.py times q_pipeline_triples_fast (production xxhash64
+    band family) as the headline flagship while the registry keeps
+    the portable entry for the oracle harness (r4 verdict Next #2):
+    on the driver corpus the two must emit identical triple counts,
+    and the fast variant must NOT be in the driver QUERIES registry
+    (CORRECTNESS stays value-exact on every entry)."""
+    from promptner_spark.plans.queries import (
+        QUERIES, q_pipeline_triples, q_pipeline_triples_fast,
+    )
+
+    assert q_pipeline_triples_fast not in QUERIES.values()
+    cols = ["subj", "pred", "obj", "n_sents", "n_docs"]
+    a = sorted(map(tuple, q_pipeline_triples_fast(spark, sf_dir)
+                   .select(*cols).toPandas().itertuples(index=False)))
+    b = sorted(map(tuple, q_pipeline_triples(spark, sf_dir)
+                   .select(*cols).toPandas().itertuples(index=False)))
+    assert a == b
