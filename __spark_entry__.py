@@ -8,7 +8,7 @@
   SURVEY.md §2 (see promptner_spark/plans/queries.py for the paired
   DuckDB closed forms and the cross-engine determinism rules;
   COVERAGE.md maps every inventory row to query + test).
-- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query — ALL 37
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query — ALL 38
   queries are value-exact (rows + schema + value hash). The last two
   holdouts closed in round 4: q_knn_ivf via an md5-seeded quantizer
   replayed as an unrolled Lloyd CTE, q_pipeline_triples via a closed
@@ -16,7 +16,10 @@
   reference's -1 alignment quirk collapses to a last-multiword-writer
   rule; the fuzzy LSH runs the md5 band family the oracle replays —
   tests/test_pipeline_oracle.py pins the quirk semantics on a crafted
-  corpus the sf data never exercises).
+  corpus the sf data never exercises). Round 5 adds q_langid (char-
+  trigram language ID, integer in-row scoring) and hardens the
+  cross-engine determinism of q_knn_ivf (fixed-point centroid means)
+  and q_pagerank (integer-space final rounding) per the r4 ADVICE.
 """
 
 from __future__ import annotations
