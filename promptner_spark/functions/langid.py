@@ -70,9 +70,14 @@ HAN_NUM, HAN_DEN = 1, 4
 def _norm(text: Column) -> Column:
     """lowercase, collapse whitespace, pad with boundary spaces —
     identical normalization on both engines (Spark regexp_replace is
-    global; the DuckDB mirror passes the 'g' flag)."""
+    global; the DuckDB mirror passes the 'g' flag). The whitespace
+    class is spelled out because Java's \\s includes vertical tab
+    and RE2's does not (textstats.PORTABLE_WS)."""
+    from .textstats import PORTABLE_WS
+
     return F.concat(F.lit(" "),
-                    F.lower(F.regexp_replace(text, r"\s+", " ")),
+                    F.lower(F.regexp_replace(
+                        text, "[" + PORTABLE_WS + "]+", " ")),
                     F.lit(" "))
 
 
@@ -136,7 +141,8 @@ def lang_id_trigram(text: Column) -> Column:
 
 # ------------------------------------------------- DuckDB SQL mirror
 def _sql_norm(col: str) -> str:
-    return f"' ' || lower(regexp_replace({col}, '\\s+', ' ', 'g')) || ' '"
+    return (f"' ' || lower(regexp_replace({col}, "
+            f"'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) || ' '")
 
 
 def _sql_count(s: str, trigram: str) -> str:

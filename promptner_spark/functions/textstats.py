@@ -17,6 +17,13 @@ from ..oracle.stopwords import ENGLISH_STOPWORDS
 # needs a stable subset)
 STOP_SUBSET = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 
+# Portable whitespace class for cross-engine regexes: Java's \s
+# includes vertical tab (\x0B), RE2's (DuckDB) does not — a document
+# containing \x0B would make the Spark expression and its DuckDB
+# oracle normalize differently (r5 fuzz finding). Every regex shared
+# between the two engines spells the class out instead.
+PORTABLE_WS = r" \t\n\x0B\f\r"
+
 
 def tokens(text: Column) -> Column:
     return F.split(text, " ")
@@ -30,9 +37,11 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-approximate token count: word-chunks + digits + punctuation
-    as separate tokens (regexp-based; deterministic)."""
+    as separate tokens (regexp-based; deterministic; whitespace class
+    spelled out for RE2 parity — see PORTABLE_WS)."""
     return F.size(F.regexp_extract_all(
-        text, F.lit(r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\s]"), 0))
+        text,
+        F.lit(r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9" + PORTABLE_WS + "]"), 0))
 
 
 def avg_token_len(text: Column) -> Column:
@@ -81,7 +90,7 @@ def fingerprint(text: Column) -> Column:
     """64-char-window rolling fingerprint: min portable-hash over
     character 8-grams of the normalized text (winnowing-style k-min
     sketch with k=1) — content-defined, shift-tolerant."""
-    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    norm = F.lower(F.regexp_replace(text, "[" + PORTABLE_WS + "]+", " "))
     n = F.length(norm)
     grams = F.when(n < 8, F.array(norm)).otherwise(
         F.transform(F.sequence(F.lit(1), n - 7),

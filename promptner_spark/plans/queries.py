@@ -484,7 +484,9 @@ FROM base b JOIN cnt c ON c.doc_id = b.doc_id"""
 
 
 _STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in TS.STOP_SUBSET) + "]"
-_BPE_PAT = r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\s]"
+# whitespace class spelled out: RE2's \s excludes \x0B, Java's
+# includes it (see functions/textstats.py::PORTABLE_WS)
+_BPE_PAT = r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]"
 _PUNCT_NEG = r"[^!-/:-@\[-`{-~]"
 
 
@@ -550,7 +552,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_fingerprint() -> str:
     h = duckdb_portable_hash("substr(norm, CAST(i AS INTEGER), 8)", seed=7)
     return f"""
-WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+WITH n AS (SELECT doc_id,
+                  lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+',
+                                       ' ', 'g')) AS norm
            FROM documents)
 SELECT doc_id,
   CASE WHEN length(norm) < 8
