@@ -73,10 +73,10 @@ def _norm(text: Column) -> Column:
     global; the DuckDB mirror passes the 'g' flag). The whitespace
     class is spelled out because Java's \\s includes vertical tab
     and RE2's does not (textstats.PORTABLE_WS)."""
-    from .textstats import PORTABLE_WS
+    from .textstats import PORTABLE_WS, portable_lower
 
     return F.concat(F.lit(" "),
-                    F.lower(F.regexp_replace(
+                    portable_lower(F.regexp_replace(
                         text, "[" + PORTABLE_WS + "]+", " ")),
                     F.lit(" "))
 
@@ -141,8 +141,11 @@ def lang_id_trigram(text: Column) -> Column:
 
 # ------------------------------------------------- DuckDB SQL mirror
 def _sql_norm(col: str) -> str:
-    return (f"' ' || lower(regexp_replace({col}, "
-            f"'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) || ' '")
+    from .textstats import sql_portable_lower
+
+    collapsed = (f"regexp_replace({col}, "
+                 f"'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')")
+    return f"' ' || {sql_portable_lower(collapsed)} || ' '"
 
 
 def _sql_count(s: str, trigram: str) -> str:

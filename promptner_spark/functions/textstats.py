@@ -25,6 +25,28 @@ STOP_SUBSET = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 PORTABLE_WS = r" \t\n\x0B\f\r"
 
 
+def portable_lower(c: Column) -> Column:
+    """lower() that agrees between Spark and DuckDB on every input.
+
+    Spark applies the FULL Unicode case mapping (SpecialCasing.txt):
+    'İ' (U+0130) → 'i' + combining dot U+0307, and capital sigma is
+    contextual ('Σ' → 'ς' at word end, 'σ' elsewhere). DuckDB applies
+    the simple per-codepoint mapping ('İ' → 'i', 'Σ' → 'σ' always) —
+    measured divergence, r5. Pre-folding those two code points makes
+    both engines take the simple path; everything else in the simple
+    map agrees (ß, ligatures, accents all verified). The choice of
+    'i'/'σ' as the canonical forms IS the operator's semantics — what
+    matters for oracle-exactness is that both engines compute it."""
+    folded = F.replace(F.replace(c, F.lit("İ"), F.lit("i")),
+                       F.lit("Σ"), F.lit("σ"))
+    return F.lower(folded)
+
+
+def sql_portable_lower(expr: str) -> str:
+    """DuckDB mirror of :func:`portable_lower`."""
+    return f"lower(replace(replace({expr}, 'İ', 'i'), 'Σ', 'σ'))"
+
+
 def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
@@ -52,9 +74,12 @@ def avg_token_len(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
+    # portable_lower: 'İT' must not count as the stopword 'it' on one
+    # engine and not the other (full-vs-simple case mapping, r5)
     stops = F.array(*[F.lit(s) for s in STOP_SUBSET])
-    n_stop = F.size(F.filter(tokens(text),
-                             lambda t: F.array_contains(stops, F.lower(t))))
+    n_stop = F.size(F.filter(
+        tokens(text),
+        lambda t: F.array_contains(stops, portable_lower(t))))
     return n_stop.cast("double") / F.greatest(token_count(text), F.lit(1))
 
 
@@ -90,7 +115,7 @@ def fingerprint(text: Column) -> Column:
     """64-char-window rolling fingerprint: min portable-hash over
     character 8-grams of the normalized text (winnowing-style k-min
     sketch with k=1) — content-defined, shift-tolerant."""
-    norm = F.lower(F.regexp_replace(text, "[" + PORTABLE_WS + "]+", " "))
+    norm = portable_lower(F.regexp_replace(text, "[" + PORTABLE_WS + "]+", " "))
     n = F.length(norm)
     grams = F.when(n < 8, F.array(norm)).otherwise(
         F.transform(F.sequence(F.lit(1), n - 7),

@@ -497,7 +497,7 @@ def _sql_quality_expr(t: str = "text") -> str:
     pr = (f"(length(regexp_replace({t}, '{_PUNCT_NEG}', '', 'g'))::DOUBLE"
           f" / greatest(length({t}), 1))")
     sr = (f"(len(list_filter({toks}, x -> list_contains({_STOPS_SQL},"
-          f" lower(x))))::DOUBLE / {n})")
+          f" {TS.sql_portable_lower('x')})))::DOUBLE / {n})")
     return (
         f"((CASE WHEN len({toks}) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)"
         f" + (CASE WHEN {wl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)"
@@ -509,7 +509,8 @@ def _sql_quality_expr(t: str = "text") -> str:
 def _sql_stop_ratio(t: str = "text") -> str:
     toks = f"string_split({t}, ' ')"
     return (f"(len(list_filter({toks}, x -> list_contains({_STOPS_SQL},"
-            f" lower(x))))::DOUBLE / greatest(len({toks}), 1))")
+            f" {TS.sql_portable_lower('x')})))::DOUBLE"
+            f" / greatest(len({toks}), 1))")
 
 
 def _sql_textstats() -> str:
@@ -551,10 +552,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_fingerprint() -> str:
     h = duckdb_portable_hash("substr(norm, CAST(i AS INTEGER), 8)", seed=7)
+    collapsed = ("regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+'"
+                 ", ' ', 'g')")
+    norm = TS.sql_portable_lower(collapsed)
     return f"""
-WITH n AS (SELECT doc_id,
-                  lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+',
-                                       ' ', 'g')) AS norm
+WITH n AS (SELECT doc_id, {norm} AS norm
            FROM documents)
 SELECT doc_id,
   CASE WHEN length(norm) < 8

@@ -28,6 +28,11 @@ WORDS = {
     "zh": list("这是一个测试的结果表明新方法数据扩展良好"),
     "junk": ["qzx", "wvk", "jqp", "zzt", "xkcv", "bnm", "123", "42",
              "it's", "a:b", "(x)", "co-op", "…", "—", "naïve", "café"],
+    # full-vs-simple Unicode case-mapping divergence bait: Spark
+    # lowercases İ to i+U+0307 and final Σ to ς; DuckDB maps both
+    # simply — portable_lower must pre-fold them (r5 finding #2)
+    "case": ["İstanbul", "ΣΊΣΥΦΟΣ", "ΤΕΛΟΣ", "NAÏVE", "ẞß", "CAFÉ",
+             "Σ", "İ", "ǅungla", "İT", "İS", "ΣA"],
 }
 WS = [" ", "  ", "\t", "\n", "\x0b", "\f", "\r", " \t ", "\n\n", " "]
 
