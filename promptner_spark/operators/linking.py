@@ -30,7 +30,17 @@ _PUNCT_CLASS = r"^[!-/:-@\[-`{-~\s]+|[!-/:-@\[-`{-~\s]+$"
 
 def norm_surface(col: F.Column) -> F.Column:
     """The linking key: lowercase + strip surrounding punctuation
-    (reference normalization `eval.py:20-21`, oracle/clean.py)."""
+    (reference normalization `eval.py:20-21`, oracle/clean.py).
+
+    Deliberately plain F.lower, NOT functions.textstats.portable_lower:
+    this key must match the REFERENCE's Python ``str.lower`` (full
+    Unicode case mapping), which is what Spark implements. The DuckDB
+    oracle mirror applies the simple per-codepoint map, so the two
+    engines could disagree on a surface containing U+0130 'İ' or a
+    word-final capital sigma — irrelevant for the ASCII gazetteer
+    vocabulary the oracles run against, and reference parity wins
+    over oracle portability for this key (the text-analytics family,
+    which defines its own semantics, makes the opposite choice)."""
     return F.regexp_replace(F.lower(F.trim(col)), _PUNCT_CLASS, "")
 
 

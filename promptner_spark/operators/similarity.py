@@ -101,13 +101,38 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8,
     the similarity suite's one scale-killer. Output is bit-identical.)"""
     sig = F.lit(0)
     for p, row in enumerate(plane_coefficients(dim, n_planes, table)):
-        coefs = F.array(*[F.lit(float(c)) for c in row])
+        coefs = F.lit([float(c) for c in row])
         proj = F.aggregate(
             F.zip_with(vec, coefs, lambda v, c: v.cast("double") * c),
             F.lit(0.0), lambda acc, v: acc + v,
         )
         sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
+
+
+def hyperplane_signature_sql(vec_sql: str, dim: int, n_planes: int = 8,
+                             table: int = 0) -> str:
+    """The same signature as :func:`hyperplane_signature`, built as a
+    single SQL expression STRING for ``F.expr``.
+
+    Why a second spelling exists: constructing the Column form costs
+    one py4j round trip per PySpark function call, and a multi-table
+    index builds n_tables × n_planes folds over dim-element literal
+    arrays — measured r5: ~7 s of driver-side plan CONSTRUCTION for
+    the (8-table, 4-plane, 64-dim) q_knn_lsh build vs 1.6 s of actual
+    execution. One expr string per (table, plane) cuts construction
+    to a handful of py4j calls; Spark parses the array literal
+    JVM-side. The generated expression is term-for-term the Column
+    version (same folds, same order, same types), pinned by
+    tests/test_similarity_quality.py::test_signature_sql_matches_column.
+    """
+    terms = ["0"]
+    for p, row in enumerate(plane_coefficients(dim, n_planes, table)):
+        arr = "array(" + ",".join(f"{float(c):.1f}D" for c in row) + ")"
+        proj = (f"aggregate(zip_with({vec_sql}, {arr}, "
+                f"(v, c) -> CAST(v AS DOUBLE) * c), 0.0D, (a, b) -> a + b)")
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def lsh_topk(
@@ -130,7 +155,8 @@ def lsh_topk(
     def with_buckets(df: DataFrame, idc: str, out_id: str) -> DataFrame:
         sigs = F.array(*[
             F.struct(F.lit(t).alias("tbl"),
-                     hyperplane_signature(F.col(vec_col), dim, n_planes, t)
+                     F.expr(hyperplane_signature_sql(
+                         f"`{vec_col}`", dim, n_planes, t))
                      .alias("bucket"))
             for t in range(n_tables)
         ])
@@ -185,7 +211,8 @@ def embedding_near_dup_pairs(
     near-dup'). Output: (id_a < id_b, sim)."""
     sigs = F.array(*[
         F.struct(F.lit(t).alias("tbl"),
-                 hyperplane_signature(F.col(vec_col), dim, n_planes, t)
+                 F.expr(hyperplane_signature_sql(
+                     f"`{vec_col}`", dim, n_planes, t))
                  .alias("bucket"))
         for t in range(n_tables)
     ])

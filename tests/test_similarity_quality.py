@@ -161,3 +161,25 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
     again = _topk_sets(ivf_topk(emb, queries, k=5, n_centroids=8,
                                 nprobe=4, n_iter=2))
     assert got == again  # deterministic quantizer + ranking
+
+
+def test_signature_sql_matches_column(spark, sf_dir):
+    """The F.expr spelling of the hyperplane signature (one py4j call
+    per plane — the hot-path form since r5) must produce exactly the
+    Column-API signature for every vector and table."""
+    from pyspark.sql import functions as F
+
+    from promptner_spark.operators.similarity import (
+        hyperplane_signature, hyperplane_signature_sql,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.first()["embedding"])
+    checks = []
+    for t in (0, 3):
+        checks.append(
+            (hyperplane_signature(F.col("embedding"), dim, 5, t)
+             == F.expr(hyperplane_signature_sql("`embedding`", dim, 5, t)))
+            .alias(f"eq{t}"))
+    bad = e.select(*checks).where(~F.col("eq0") | ~F.col("eq3")).count()
+    assert bad == 0
