@@ -139,6 +139,28 @@ def lang_id_trigram(text: Column) -> Column:
                      F.greatest(F.length(norm), F.lit(1)), text)
 
 
+def spark_lang_score_expr(s_col: str, lang: str) -> str:
+    """:func:`lang_score` as a single Spark-SQL expression STRING for
+    ``F.expr`` — the hot-path spelling. The Column form makes ~7 py4j
+    round trips per trigram (~525 for the 5-profile score projection:
+    ~0.9 s of driver-side plan construction per q_langid build,
+    measured r5); one expr string per language cuts that to 5 calls
+    and Spark parses the terms JVM-side. Spark's ``/`` yields DOUBLE
+    and the INT cast truncates — term-for-term the Column form's
+    ``/ F.lit(3)`` + ``.cast("int")`` (the DuckDB mirror uses ``//``;
+    all three agree because the length delta is an exact multiple of
+    3). Parity pinned by tests/test_langid.py::
+    test_score_expr_matches_column."""
+    profile = dict(TRIGRAM_PROFILES)[lang]
+    terms = []
+    for trigram, weight in profile:
+        lit = trigram.replace("'", "''")
+        c = (f"CAST((length({s_col}) - "
+             f"length(replace({s_col}, '{lit}', ''))) / 3 AS INT)")
+        terms.append(c if weight == 1 else f"{c} * {weight}")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 # ------------------------------------------------- DuckDB SQL mirror
 def _sql_norm(col: str) -> str:
     from .textstats import sql_portable_lower
@@ -186,5 +208,6 @@ def sql_lang_id(text_col: str, norm_alias: str) -> str:
 __all__ = [
     "TRIGRAM_PROFILES", "LANGS", "MIN_CHARS_PER_HIT",
     "lang_score", "lang_pred", "lang_id_trigram", "han_char_count",
+    "spark_lang_score_expr",
     "sql_lang_score", "sql_lang_id", "_norm", "_sql_norm",
 ]

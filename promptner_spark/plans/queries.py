@@ -407,7 +407,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = nrm.select(
         F.col("lang").alias("label"), "text",
         F.greatest(F.length("norm"), F.lit(1)).alias("n_norm"),
-        *[L.lang_score(F.col("norm"), lang).alias(f"s_{lang}")
+        *[F.expr(L.spark_lang_score_expr("norm", lang)).alias(f"s_{lang}")
           for lang in L.LANGS],
     )
     scored = s.select(

@@ -112,3 +112,26 @@ def test_langid_degenerate_inputs(spark, weird):
     pred = df.select(lang_id_trigram(F.col("text")).alias("p")) \
         .collect()[0]["p"]
     assert pred == "und"
+
+
+def test_score_expr_matches_column(spark, sf_dir):
+    """The F.expr spelling of lang_score (the hot-path form since r5 —
+    one py4j call per language instead of ~7 per trigram) must produce
+    exactly the Column-API score for every document and language."""
+    from promptner_spark.functions.langid import (
+        LANGS, _norm, lang_score, spark_lang_score_expr,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(_norm(F.col("text")).alias("norm"))
+    checks = [
+        (lang_score(F.col("norm"), lang)
+         == F.expr(spark_lang_score_expr("norm", lang))).alias(lang)
+        for lang in LANGS
+    ]
+    import functools
+    import operator
+    bad = d.select(*checks).where(
+        ~functools.reduce(operator.and_, [F.col(c) for c in LANGS])
+    ).count()
+    assert bad == 0
