@@ -8,7 +8,7 @@
   SURVEY.md §2 (see promptner_spark/plans/queries.py for the paired
   DuckDB closed forms and the cross-engine determinism rules;
   COVERAGE.md maps every inventory row to query + test).
-- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query — ALL 38
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query — ALL 39
   queries are value-exact (rows + schema + value hash). The last two
   holdouts closed in round 4: q_knn_ivf via an md5-seeded quantizer
   replayed as an unrolled Lloyd CTE, q_pipeline_triples via a closed
@@ -17,7 +17,10 @@
   rule; the fuzzy LSH runs the md5 band family the oracle replays —
   tests/test_pipeline_oracle.py pins the quirk semantics on a crafted
   corpus the sf data never exercises). Round 5 adds q_langid (char-
-  trigram language ID, integer in-row scoring) and hardens the
+  trigram language ID, integer in-row scoring), q_curate (the
+  end-to-end curation funnel: quality+language gate → exact-dedup
+  keeper → MinHash near-dup drop → per-language retention stats,
+  composed from the individually-oracled primitives), and hardens the
   cross-engine determinism of q_knn_ivf (fixed-point centroid means)
   and q_pagerank (integer-space final rounding) per the r4 ADVICE.
 """

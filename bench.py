@@ -89,6 +89,7 @@ HEADLINE = [
     "q_textstats",          # text quality/langid/token analytics
     "q_repetition",         # Gopher-style repetition signals (r5)
     "q_langid",             # char-trigram language ID (r5)
+    "q_curate",             # end-to-end curation funnel (r5)
     "q_pricing",            # TPC-H-ish Q1 aggregation
     "q_top_orders",         # TPC-H-ish Q3-like join+topk
     "q_predicates",         # lexical predicate-triple extraction

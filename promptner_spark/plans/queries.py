@@ -685,6 +685,112 @@ SELECT id_a, id_b, CAST(round(j * 1000000) AS BIGINT) AS j_scaled
 FROM verified WHERE j >= {_MIN_J}"""
 
 
+def _augmented_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation input: documents + exact copies of every 10th doc
+    (doc_id+1M, the q_dedup_exact augmentation with lang carried) +
+    80%-prefix near-copies of every 5th (doc_id+2M, the
+    q_minhash_pairs augmentation likewise) — so every funnel stage
+    of q_curate provably drops something."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    exact = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text")
+    toks = F.split(F.col("text"), " ")
+    trunc = F.concat_ws(
+        " ", F.slice(toks, 1, F.floor(F.size(toks) * 0.8).cast("int")))
+    near = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "lang",
+        trunc.alias("text"))
+    return d.unionByName(exact).unionByName(near)
+
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation funnel (operators/curate.py):
+    quality+language gate → exact-dedup keeper window → MinHash-LSH
+    near-dup drop → per-language retention stats. The composite
+    training-data prep job, as one declarative plan — every stage is
+    a primitive this engine already oracle-checks in isolation
+    (q_quality_filter, q_langid, q_dedup_exact, q_minhash_pairs);
+    this query pins their COMPOSITION value-exactly."""
+    from ..operators.curate import curate_flags, stats_from_flags
+    from ..operators.dedup import _spread
+
+    aug = _augmented_curate(spark, sf_dir)
+    flags = curate_flags(_spread(aug), quality_min=0.6,
+                         min_jaccard=_MIN_J, n_hashes=_MINHASH_N,
+                         band_size=_BAND_SIZE, shingle_k=_SHINGLE_K)
+    _defer_release(flags)   # unpersisted at the next registry call
+    return stats_from_flags(flags)
+
+
+def _sql_curate() -> str:
+    from ..functions.langid import LANGS, _sql_norm, sql_lang_id, \
+        sql_lang_score
+
+    score_cols = ",\n         ".join(
+        f"{sql_lang_score('norm', lang)} AS s_{lang}" for lang in LANGS)
+    sig = _sql_minhash_sig("s")
+    bands = _sql_bands(sig)
+    band_rows = ", ".join(f"({i}, {b})" for i, b in enumerate(bands))
+    return f"""
+WITH aug AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, lang,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           CAST(floor(len(string_split(text, ' ')) * 0.8) AS INTEGER)), ' ')
+    AS text
+  FROM documents WHERE doc_id % 5 = 0),
+nrm AS (
+  SELECT doc_id, lang, text, {_sql_norm('text')} AS norm FROM aug),
+sig AS (
+  SELECT doc_id, lang, text, greatest(length(norm), 1) AS n_norm,
+         {score_cols}
+  FROM nrm),
+gated AS (
+  SELECT doc_id, lang, text,
+         ({_sql_quality_expr('text')} >= 0.6
+          AND {sql_lang_id('text', 'norm')} <> 'und') AS pass_gate
+  FROM sig),
+flagged AS (
+  SELECT doc_id, lang, text, pass_gate,
+         (pass_gate AND doc_id = min(CASE WHEN pass_gate THEN doc_id END)
+            OVER (PARTITION BY md5(text))) AS is_keeper
+  FROM gated),
+k AS (SELECT doc_id, text FROM flagged WHERE is_keeper),
+sh AS (SELECT doc_id, {_sql_shingles('text')} AS s FROM k),
+bands AS (
+  SELECT doc_id, band_id, digest
+  FROM sh, LATERAL (VALUES {band_rows}) AS b(band_id, digest)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.digest = b.digest
+       AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+        >= {_MIN_J}),
+drops AS (SELECT DISTINCT id_b AS doc_id FROM verified)
+SELECT f.lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN f.pass_gate THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quality,
+  CAST(sum(CASE WHEN f.is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact,
+  CAST(sum(CASE WHEN f.is_keeper AND d.doc_id IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN f.is_keeper AND d.doc_id IS NULL
+                THEN length(f.text) ELSE 0 END) AS BIGINT) AS chars_kept
+FROM flagged f LEFT JOIN drops d ON f.doc_id = d.doc_id
+GROUP BY f.lang"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_table(_docs(spark, sf_dir), bits=32, shingle_k=2)
 
@@ -1871,6 +1977,7 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_curate": q_curate,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_components": q_components,
@@ -1913,6 +2020,7 @@ ORACLE_SQL = {
     "q_fingerprint": _sql_fingerprint(),
     "q_dedup_exact": _sql_dedup_exact(),
     "q_minhash_pairs": _sql_minhash_pairs(),
+    "q_curate": _sql_curate(),
     "q_simhash": _sql_simhash(),
     "q_simhash_pairs": _sql_simhash_pairs(),
     "q_components": _sql_components(),
