@@ -419,6 +419,7 @@ def main() -> None:
         # leaving a mystery regression)
         clean = min(probes)
         retried: list[str] = []
+        retry_skipped: list[str] = []
         probe_retry: list[float] = []
 
         def dirty_window(w: int) -> bool:
@@ -441,6 +442,10 @@ def main() -> None:
             for name in flagged[:MAX_RETRIES]:
                 queries_runs[name] = queries_runs[name] + time_query(name)
                 retried.append(name)
+            # no silent caps: flagged-but-unretried queries are
+            # recorded so the artifact says coverage was bounded,
+            # not that the suspects list ended at MAX_RETRIES
+            retry_skipped = flagged[MAX_RETRIES:]
             if retried:
                 probe_retry = _probe_samples(spark)
 
@@ -461,6 +466,8 @@ def main() -> None:
             "spread": _spread(probes),
             "retried": retried,
         }
+        if retry_skipped:
+            probe_block["retry_skipped"] = retry_skipped
         if probe_retry:
             probe_block["post_retry"] = probe_retry
     finally:
