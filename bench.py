@@ -90,6 +90,9 @@ HEADLINE = [
     "q_repetition",         # Gopher-style repetition signals (r5)
     "q_langid",             # char-trigram language ID (r5)
     "q_curate",             # end-to-end curation funnel (r5)
+    "q_decontaminate",      # benchmark 13-gram decontamination (r5)
+    "q_quota_sample",       # two-phase exact per-group quota (r5)
+    "q_mixture_sample",     # map-only mixture-rate sampling (r5)
     "q_pricing",            # TPC-H-ish Q1 aggregation
     "q_top_orders",         # TPC-H-ish Q3-like join+topk
     "q_predicates",         # lexical predicate-triple extraction

@@ -26,7 +26,10 @@ from ..functions import textstats as TS
 from ..functions.hashing import (
     HASH_HEX_DIGITS, duckdb_portable_hash, portable_hash,
 )
-from ..operators import dedup, linking, similarity, triples as triples_op
+from ..operators import (
+    decontaminate as decon, dedup, linking, sample as smp, similarity,
+    triples as triples_op,
+)
 from ..operators.components import connected_components
 from ..operators.gazetteer import (
     ALIAS_ROWS, DUCKDB_ALIASES_CTE, ORACLE_GAZETTEER, duckdb_gazetteer_cte,
@@ -789,6 +792,111 @@ SELECT f.lang,
                 THEN length(f.text) ELSE 0 END) AS BIGINT) AS chars_kept
 FROM flagged f LEFT JOIN drops d ON f.doc_id = d.doc_id
 GROUP BY f.lang"""
+
+
+# -------------------------------------------------- decontamination
+_DECON_N = 13   # the canonical GPT-3/Llama overlap width
+
+
+def _synth_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in benchmark set: the middle ~60% token
+    slice of every 17th document (so contamination is real — those
+    grams occur verbatim in the source docs — and the clean set is
+    provably everything else)."""
+    toks = F.split(F.col("text"), " ")
+    width = F.greatest(
+        F.floor(F.size(toks) * 0.6).cast("int"), F.lit(1))
+    return _docs(spark, sf_dir).where(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(toks, 3, width)).alias("text"))
+
+
+_SQL_BENCH = """bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(list_slice(string_split(text, ' '), 3,
+           2 + greatest(CAST(floor(len(string_split(text, ' ')) * 0.6)
+                             AS INTEGER), 1)), ' ') AS text
+  FROM documents WHERE doc_id % 17 = 3)"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): every
+    training doc sharing a verbatim 13-token gram with the benchmark
+    set, with its distinct-hit count — the report a pipeline acts on
+    before shipping a training shard."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    rep = decon.contamination_report(
+        docs, _synth_bench(spark, sf_dir), n=_DECON_N)
+    return rep.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_hits")
+
+
+def _sql_decontaminate() -> str:
+    h = duckdb_portable_hash("g", seed=decon.GRAM_SEED)
+    sh = _sql_shingles("text", _DECON_N)
+    return f"""
+WITH {_SQL_BENCH},
+bg AS (SELECT DISTINCT {h} AS gram_h
+       FROM (SELECT unnest({sh}) AS g FROM bench)),
+dg AS (SELECT doc_id, {h} AS gram_h
+       FROM (SELECT doc_id, unnest({sh}) AS g FROM documents))
+SELECT CAST(dg.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM dg JOIN bg ON dg.gram_h = bg.gram_h
+GROUP BY dg.doc_id"""
+
+
+# ----------------------------------------------------------- sampling
+_QUOTA_N, _QUOTA_SEED = 40, 5
+_MIX_RATES = {"en": 0.25, "de": 0.8, "fr": 0.5, "es": 0.1, "zh": 1.0}
+_MIX_SEED = 7
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (operators/sample.py).
+    The Spark side runs the TWO-PHASE plan (count → hash-threshold
+    prefilter → rank over survivors); the oracle is the naive
+    single-phase rank — the hash gate proves the prefilter is
+    output-invariant."""
+    sampled = smp.quota_sample(
+        _docs(spark, sf_dir), "lang", _QUOTA_N, seed=_QUOTA_SEED)
+    return sampled.select(F.col("doc_id").cast("long").alias("doc_id"),
+                          "lang")
+
+
+def _sql_quota_sample() -> str:
+    h = smp.duckdb_sample_hash("doc_id", _QUOTA_SEED)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {h}, doc_id) AS rk
+      FROM documents)
+WHERE rk <= {_QUOTA_N}"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rate sampling: per-language keep rates applied
+    as a map-only deterministic-hash predicate, summarized as the
+    per-language (docs, chars) the mixture contributes."""
+    m = smp.mixture_sample(_docs(spark, sf_dir), _MIX_RATES,
+                           group_col="lang", seed=_MIX_SEED)
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(F.length("text")).cast("long").alias("chars_sampled"))
+
+
+def _sql_mixture_sample() -> str:
+    h = smp.duckdb_sample_hash("doc_id", _MIX_SEED)
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(r * smp.HASH_SPACE)}"
+        for g, r in sorted(_MIX_RATES.items()))
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(length(text)) AS BIGINT) AS chars_sampled
+FROM documents
+WHERE {h} < (CASE lang {cases} ELSE -1 END)
+GROUP BY lang"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1978,6 +2086,9 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_pairs": q_minhash_pairs,
     "q_curate": q_curate,
+    "q_decontaminate": q_decontaminate,
+    "q_quota_sample": q_quota_sample,
+    "q_mixture_sample": q_mixture_sample,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_components": q_components,
@@ -2021,6 +2132,9 @@ ORACLE_SQL = {
     "q_dedup_exact": _sql_dedup_exact(),
     "q_minhash_pairs": _sql_minhash_pairs(),
     "q_curate": _sql_curate(),
+    "q_decontaminate": _sql_decontaminate(),
+    "q_quota_sample": _sql_quota_sample(),
+    "q_mixture_sample": _sql_mixture_sample(),
     "q_simhash": _sql_simhash(),
     "q_simhash_pairs": _sql_simhash_pairs(),
     "q_components": _sql_components(),
