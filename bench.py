@@ -93,6 +93,7 @@ HEADLINE = [
     "q_decontaminate",      # benchmark 13-gram decontamination (r5)
     "q_quota_sample",       # two-phase exact per-group quota (r5)
     "q_mixture_sample",     # map-only mixture-rate sampling (r5)
+    "q_shard_pack",         # two-phase token-budget shard packing (r5)
     "q_pricing",            # TPC-H-ish Q1 aggregation
     "q_top_orders",         # TPC-H-ish Q3-like join+topk
     "q_predicates",         # lexical predicate-triple extraction

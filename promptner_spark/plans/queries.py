@@ -899,6 +899,40 @@ WHERE {h} < (CASE lang {cases} ELSE -1 END)
 GROUP BY lang"""
 
 
+_SHARD_BUDGET, _SHARD_SEED, _SHARD_BITS = 2000, 3, 4
+
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators/shard.py): greedy packing
+    of the hash-shuffled corpus into ~2000-token shards. The Spark
+    side runs the bucketed TWO-PHASE prefix sum (per-bucket totals →
+    driver offsets → within-bucket window); the oracle is the naive
+    single-window global cumsum — the hash gate proves the
+    decomposition exact."""
+    from ..operators.shard import shard_manifest
+    return shard_manifest(_docs(spark, sf_dir), budget=_SHARD_BUDGET,
+                          seed=_SHARD_SEED, bucket_bits=_SHARD_BITS)
+
+
+def _sql_shard_pack() -> str:
+    h = smp.duckdb_sample_hash("doc_id", _SHARD_SEED)
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         {h} AS h
+  FROM documents),
+packed AS (
+  SELECT doc_id, n_tok,
+         (coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+         // {_SHARD_BUDGET} AS shard_id
+  FROM base)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY shard_id"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_table(_docs(spark, sf_dir), bits=32, shingle_k=2)
 
@@ -2089,6 +2123,7 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_quota_sample": q_quota_sample,
     "q_mixture_sample": q_mixture_sample,
+    "q_shard_pack": q_shard_pack,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_components": q_components,
@@ -2135,6 +2170,7 @@ ORACLE_SQL = {
     "q_decontaminate": _sql_decontaminate(),
     "q_quota_sample": _sql_quota_sample(),
     "q_mixture_sample": _sql_mixture_sample(),
+    "q_shard_pack": _sql_shard_pack(),
     "q_simhash": _sql_simhash(),
     "q_simhash_pairs": _sql_simhash_pairs(),
     "q_components": _sql_components(),
