@@ -52,6 +52,13 @@ _EXPORTS = {
     "pmi_edges": ("promptner_spark.operators.graph_analytics", "pmi_edges"),
     "predicate_triples": ("promptner_spark.operators.triples",
                           "predicate_triples"),
+    "curate_kept": ("promptner_spark.operators.curate", "curate_kept"),
+    "decontaminate": ("promptner_spark.operators.decontaminate",
+                      "decontaminate"),
+    "quota_sample": ("promptner_spark.operators.sample", "quota_sample"),
+    "mixture_sample": ("promptner_spark.operators.sample",
+                       "mixture_sample"),
+    "shard_pack": ("promptner_spark.operators.shard", "shard_pack"),
     "stream_dedup_first_seen": ("promptner_spark.streaming.stateful",
                                 "stream_dedup_first_seen"),
     "stream_entity_cards": ("promptner_spark.streaming.stateful",
