@@ -59,6 +59,9 @@ _EXPORTS = {
     "mixture_sample": ("promptner_spark.operators.sample",
                        "mixture_sample"),
     "shard_pack": ("promptner_spark.operators.shard", "shard_pack"),
+    "scrub_pii": ("promptner_spark.operators.pii", "scrub_pii"),
+    "strip_common_lines": ("promptner_spark.operators.lines",
+                           "strip_common_lines"),
     "stream_dedup_first_seen": ("promptner_spark.streaming.stateful",
                                 "stream_dedup_first_seen"),
     "stream_entity_cards": ("promptner_spark.streaming.stateful",

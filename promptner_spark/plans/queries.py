@@ -27,8 +27,8 @@ from ..functions.hashing import (
     HASH_HEX_DIGITS, duckdb_portable_hash, portable_hash,
 )
 from ..operators import (
-    decontaminate as decon, dedup, linking, sample as smp, similarity,
-    triples as triples_op,
+    decontaminate as decon, dedup, lines as lines_op, linking,
+    pii as pii_op, sample as smp, similarity, triples as triples_op,
 )
 from ..operators.components import connected_components
 from ..operators.gazetteer import (
@@ -931,6 +931,138 @@ SELECT CAST(shard_id AS BIGINT) AS shard_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens
 FROM packed GROUP BY shard_id"""
+
+
+# ---------------------------------------------------------- PII scrub
+# The synthetic corpus carries no PII, so the query deterministically
+# DIRTIES it first (the _synth_bench precedent): emails on doc_id%3==0,
+# dotted-quad IPs on %4==1, +-prefixed phones on %5==2 — identically in
+# both engines, so the scrub regexes are exercised on real matches.
+
+
+def _dirty_text() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.concat(
+            F.lit(" from 10."), (d % 200).cast("string"),
+            F.lit(".3."), (d % 250).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 5 == 2, F.concat(
+            F.lit(" call +1 555 01"),
+            F.lpad((d % 100).cast("string"), 2, "0"),
+            F.lit(" 23"))).otherwise(F.lit("")),
+    )
+
+
+_SQL_DIRTY = """dirty AS (
+  SELECT doc_id, concat(text,
+    CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
+      CAST(doc_id AS VARCHAR), '@example.com now') ELSE '' END,
+    CASE WHEN doc_id % 4 = 1 THEN concat(' from 10.',
+      CAST(doc_id % 200 AS VARCHAR), '.3.',
+      CAST(doc_id % 250 AS VARCHAR)) ELSE '' END,
+    CASE WHEN doc_id % 5 = 2 THEN concat(' call +1 555 01',
+      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), ' 23') ELSE '' END
+  ) AS text FROM documents)"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/pii.py): emails/IPv4s/phones replaced
+    by placeholder tokens, with per-kind match counts — map-only
+    regexp codegen inside the scan stage, zero shuffles."""
+    dirty = _docs(spark, sf_dir).select("doc_id", _dirty_text().alias("text"))
+    out = pii_op.scrub_pii(dirty)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "text", "n_email", "n_ipv4", "n_phone")
+
+
+def _sql_pii_scrub() -> str:
+    return f"""
+WITH {_SQL_DIRTY}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {pii_op.duckdb_scrub_sql('text')} AS text,
+       {pii_op.duckdb_count_sql('text', 'email')} AS n_email,
+       {pii_op.duckdb_count_sql('text', 'ipv4')} AS n_ipv4,
+       {pii_op.duckdb_count_sql('text', 'phone')} AS n_phone
+FROM dirty"""
+
+
+# ----------------------------------------------------- line-level dedup
+# The corpus is single-line, so the query deterministically restructures
+# each doc into lines first — constant boilerplate (cookie banner,
+# footer, a newsletter line on doc_id%3==0) around the doc's two token
+# halves — identically in both engines. strip_common_lines must remove
+# exactly the lines whose normalized form occurs in >= _LINE_MIN_DOCS
+# distinct docs (boilerplate always; content halves only where docs
+# repeat). The oracle replays the semantics UNEXPLODED (list_filter
+# against a scalar-subquery list), proving the explode/broadcast-join/
+# reassemble decomposition exact.
+_LINE_MIN_DOCS = 3
+
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    k = F.floor(n / F.lit(2)).cast("int")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("cookie notice we use cookies"),
+            F.concat_ws(" ", F.slice(toks, F.lit(1), k)),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("subscribe to the newsletter")),
+            F.concat_ws(" ", F.slice(toks, k + 1, n - k)),
+            F.lit("copyright webcorp all rights reserved"),
+        ).alias("text"))
+
+
+_SQL_MULTILINE = """docs2 AS (
+  SELECT doc_id, concat_ws(chr(10),
+    'cookie notice we use cookies',
+    array_to_string(l[1:k], ' '),
+    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to the newsletter' END,
+    array_to_string(l[k+1:n], ' '),
+    'copyright webcorp all rights reserved') AS text
+  FROM (SELECT doc_id, l, len(l) AS n, len(l) // 2 AS k
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents)))"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (operators/lines.py): boilerplate
+    lines occurring in >= 3 distinct docs stripped, survivors
+    re-joined in order."""
+    out = lines_op.strip_common_lines(
+        _multiline_docs(spark, sf_dir), min_docs=_LINE_MIN_DOCS)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "text", "n_kept", "n_dropped")
+
+
+def _sql_line_dedup() -> str:
+    key = TS.sql_portable_lower("trim(l)")
+    h_inline = duckdb_portable_hash(key, seed=lines_op.LINE_SEED)
+    keep = f"({key} = '' OR NOT list_contains(fl, {h_inline}))"
+    return f"""
+WITH {_SQL_MULTILINE},
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+dockeys AS (
+  SELECT DISTINCT doc_id, {key} AS k
+  FROM (SELECT doc_id, unnest(ls) AS l FROM ls)),
+freq AS (
+  SELECT {duckdb_portable_hash('k', seed=lines_op.LINE_SEED)} AS line_h
+  FROM dockeys WHERE k <> ''
+  GROUP BY 1 HAVING count(*) >= {_LINE_MIN_DOCS}),
+flist AS (SELECT coalesce(list(line_h), []) AS fl FROM freq)
+SELECT doc_id,
+       array_to_string(list_filter(ls, l -> {keep}), chr(10)) AS text,
+       CAST(len(list_filter(ls, l -> {keep})) AS BIGINT) AS n_kept,
+       CAST(len(ls) - len(list_filter(ls, l -> {keep})) AS BIGINT)
+         AS n_dropped
+FROM ls, flist"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2124,6 +2256,8 @@ QUERIES = {
     "q_quota_sample": q_quota_sample,
     "q_mixture_sample": q_mixture_sample,
     "q_shard_pack": q_shard_pack,
+    "q_pii_scrub": q_pii_scrub,
+    "q_line_dedup": q_line_dedup,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_components": q_components,
@@ -2171,6 +2305,8 @@ ORACLE_SQL = {
     "q_quota_sample": _sql_quota_sample(),
     "q_mixture_sample": _sql_mixture_sample(),
     "q_shard_pack": _sql_shard_pack(),
+    "q_pii_scrub": _sql_pii_scrub(),
+    "q_line_dedup": _sql_line_dedup(),
     "q_simhash": _sql_simhash(),
     "q_simhash_pairs": _sql_simhash_pairs(),
     "q_components": _sql_components(),
