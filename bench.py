@@ -96,6 +96,7 @@ HEADLINE = [
     "q_shard_pack",         # two-phase token-budget shard packing (r5)
     "q_pii_scrub",          # map-only PII redaction (r5)
     "q_line_dedup",         # cross-doc boilerplate line dedup (r5)
+    "q_prep",               # end-to-end prep funnel (r5)
     "q_pricing",            # TPC-H-ish Q1 aggregation
     "q_top_orders",         # TPC-H-ish Q3-like join+topk
     "q_predicates",         # lexical predicate-triple extraction

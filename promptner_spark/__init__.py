@@ -60,6 +60,8 @@ _EXPORTS = {
                        "mixture_sample"),
     "shard_pack": ("promptner_spark.operators.shard", "shard_pack"),
     "scrub_pii": ("promptner_spark.operators.pii", "scrub_pii"),
+    "prepare_training_data": ("promptner_spark.operators.prep",
+                              "prepare_training_data"),
     "strip_common_lines": ("promptner_spark.operators.lines",
                            "strip_common_lines"),
     "stream_dedup_first_seen": ("promptner_spark.streaming.stateful",

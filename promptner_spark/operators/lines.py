@@ -70,32 +70,36 @@ def line_counts(docs: DataFrame, text_col: str = "text",
 
 def strip_common_lines(docs: DataFrame, min_docs: int = 2,
                        text_col: str = "text", id_col: str = "doc_id",
-                       broadcast_freq: bool = True) -> DataFrame:
-    """(id_col, text_col, n_kept, n_dropped): documents with
-    boilerplate lines (appearing in >= ``min_docs`` distinct docs)
-    removed — column names preserved so stages chain."""
+                       broadcast_freq: bool = True,
+                       carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id_col, *carry_cols, text_col, n_kept, n_dropped): documents
+    with boilerplate lines (appearing in >= ``min_docs`` distinct
+    docs) removed — column names preserved so stages chain.
+    ``carry_cols`` threads doc-constant columns (e.g. lang) through
+    the reassembly groupBy at zero extra exchange cost."""
     freq = (line_counts(docs, text_col, id_col)
             .where(F.col("n_docs") >= min_docs)
             .select("line_h"))
     if broadcast_freq:
         freq = F.broadcast(freq)
 
+    carry = list(carry_cols)
     lines = docs.select(
-        F.col(id_col),
+        F.col(id_col), *[F.col(c) for c in carry],
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("pos", "line"))
     keyed = lines.withColumn("_k", _line_key(F.col("line"))).withColumn(
         "_h", portable_hash(F.col("_k"), LINE_SEED))
     flagged = (
         keyed.join(freq, keyed["_h"] == freq["line_h"], "left")
-        .select(id_col, "pos", "line",
+        .select(id_col, *carry, "pos", "line",
                 ((F.col("_k") != "") &
                  F.col("line_h").isNotNull()).alias("drop"))
     )
     ordered = F.array_sort(
         F.collect_list(F.struct("pos", "line", "drop")))
     return (
-        flagged.groupBy(id_col)
+        flagged.groupBy(id_col, *carry)
         .agg(
             F.concat_ws("\n", F.transform(
                 F.filter(ordered, lambda x: ~x["drop"]),

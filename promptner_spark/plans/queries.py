@@ -725,7 +725,11 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_from_flags(flags)
 
 
-def _sql_curate() -> str:
+def _sql_curate_core(src: str) -> str:
+    """CTE chain replaying curate_flags + the near-dup drop set over
+    ``src`` (doc_id, lang, text): ends with ``flagged`` (doc_id, lang,
+    text, pass_gate, is_keeper) and ``drops`` (doc_id of near-dup
+    losers) — a keeper not in drops is kept."""
     from ..functions.langid import LANGS, _sql_norm, sql_lang_id, \
         sql_lang_score
 
@@ -734,20 +738,8 @@ def _sql_curate() -> str:
     sig = _sql_minhash_sig("s")
     bands = _sql_bands(sig)
     band_rows = ", ".join(f"({i}, {b})" for i, b in enumerate(bands))
-    return f"""
-WITH aug AS (
-  SELECT doc_id, lang, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
-  WHERE doc_id % 10 = 0
-  UNION ALL
-  SELECT doc_id + 2000000 AS doc_id, lang,
-         array_to_string(list_slice(string_split(text, ' '), 1,
-           CAST(floor(len(string_split(text, ' ')) * 0.8) AS INTEGER)), ' ')
-    AS text
-  FROM documents WHERE doc_id % 5 = 0),
-nrm AS (
-  SELECT doc_id, lang, text, {_sql_norm('text')} AS norm FROM aug),
+    return f"""nrm AS (
+  SELECT doc_id, lang, text, {_sql_norm('text')} AS norm FROM {src}),
 sig AS (
   SELECT doc_id, lang, text, greatest(length(norm), 1) AS n_norm,
          {score_cols}
@@ -779,7 +771,23 @@ verified AS (
   WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
         >= {_MIN_J}),
-drops AS (SELECT DISTINCT id_b AS doc_id FROM verified)
+drops AS (SELECT DISTINCT id_b AS doc_id FROM verified)"""
+
+
+def _sql_curate() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, lang,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           CAST(floor(len(string_split(text, ' ')) * 0.8) AS INTEGER)), ' ')
+    AS text
+  FROM documents WHERE doc_id % 5 = 0),
+{_sql_curate_core('aug')}
 SELECT f.lang,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN f.pass_gate THEN 1 ELSE 0 END) AS BIGINT)
@@ -957,8 +965,10 @@ def _dirty_text() -> F.Column:
     )
 
 
-_SQL_DIRTY = """dirty AS (
-  SELECT doc_id, concat(text,
+def _sql_dirty(src: str = "documents", carry: str = "") -> str:
+    """dirty CTE mirroring :func:`_dirty_text` over ``src``."""
+    return f"""dirty AS (
+  SELECT doc_id{carry}, concat(text,
     CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
       CAST(doc_id AS VARCHAR), '@example.com now') ELSE '' END,
     CASE WHEN doc_id % 4 = 1 THEN concat(' from 10.',
@@ -966,7 +976,10 @@ _SQL_DIRTY = """dirty AS (
       CAST(doc_id % 250 AS VARCHAR)) ELSE '' END,
     CASE WHEN doc_id % 5 = 2 THEN concat(' call +1 555 01',
       lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), ' 23') ELSE '' END
-  ) AS text FROM documents)"""
+  ) AS text FROM {src})"""
+
+
+_SQL_DIRTY = _sql_dirty()
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,33 +1016,43 @@ FROM dirty"""
 _LINE_MIN_DOCS = 3
 
 
-def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _multiline_expr() -> F.Column:
+    """The multi-line restructuring of the single-line ``text``
+    column: constant boilerplate around the doc's two token halves."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     k = F.floor(n / F.lit(2)).cast("int")
+    return F.concat_ws(
+        "\n",
+        F.lit("cookie notice we use cookies"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), k)),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("subscribe to the newsletter")),
+        F.concat_ws(" ", F.slice(toks, k + 1, n - k)),
+        F.lit("copyright webcorp all rights reserved"),
+    )
+
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.concat_ws(
-            "\n",
-            F.lit("cookie notice we use cookies"),
-            F.concat_ws(" ", F.slice(toks, F.lit(1), k)),
-            F.when(F.col("doc_id") % 3 == 0,
-                   F.lit("subscribe to the newsletter")),
-            F.concat_ws(" ", F.slice(toks, k + 1, n - k)),
-            F.lit("copyright webcorp all rights reserved"),
-        ).alias("text"))
+        "doc_id", _multiline_expr().alias("text"))
 
 
-_SQL_MULTILINE = """docs2 AS (
-  SELECT doc_id, concat_ws(chr(10),
+def _sql_multiline(src: str, carry: str = "") -> str:
+    """docs2 CTE mirroring :func:`_multiline_expr` over ``src``."""
+    return f"""docs2 AS (
+  SELECT doc_id{carry}, concat_ws(chr(10),
     'cookie notice we use cookies',
     array_to_string(l[1:k], ' '),
     CASE WHEN doc_id % 3 = 0 THEN 'subscribe to the newsletter' END,
     array_to_string(l[k+1:n], ' '),
     'copyright webcorp all rights reserved') AS text
-  FROM (SELECT doc_id, l, len(l) AS n, len(l) // 2 AS k
-        FROM (SELECT doc_id, string_split(text, ' ') AS l
-              FROM documents)))"""
+  FROM (SELECT doc_id{carry}, l, len(l) AS n, len(l) // 2 AS k
+        FROM (SELECT doc_id{carry}, string_split(text, ' ') AS l
+              FROM {src})))"""
+
+
+_SQL_MULTILINE = _sql_multiline("documents")
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,27 +1065,129 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "text", "n_kept", "n_dropped")
 
 
-def _sql_line_dedup() -> str:
+def _sql_line_dedup_core(src: str, min_docs: int,
+                         carry: str = "") -> tuple[str, str]:
+    """(CTE chain, keep-predicate) replaying strip_common_lines over
+    ``src`` (doc_id[, carry cols], text) UNEXPLODED: the final chain
+    member ``ldpred`` carries (doc_id, ls, fl) — select
+    ``array_to_string(list_filter(ls, l -> KEEP), chr(10))`` to get
+    the cleaned text. ``carry`` names extra doc-constant columns to
+    thread through (e.g. ", lang")."""
     key = TS.sql_portable_lower("trim(l)")
     h_inline = duckdb_portable_hash(key, seed=lines_op.LINE_SEED)
     keep = f"({key} = '' OR NOT list_contains(fl, {h_inline}))"
-    return f"""
-WITH {_SQL_MULTILINE},
-ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+    ctes = f"""ls AS (SELECT doc_id{carry},
+            string_split(text, chr(10)) AS ls FROM {src}),
 dockeys AS (
   SELECT DISTINCT doc_id, {key} AS k
   FROM (SELECT doc_id, unnest(ls) AS l FROM ls)),
 freq AS (
   SELECT {duckdb_portable_hash('k', seed=lines_op.LINE_SEED)} AS line_h
   FROM dockeys WHERE k <> ''
-  GROUP BY 1 HAVING count(*) >= {_LINE_MIN_DOCS}),
-flist AS (SELECT coalesce(list(line_h), []) AS fl FROM freq)
+  GROUP BY 1 HAVING count(*) >= {min_docs}),
+flist AS (SELECT coalesce(list(line_h), []) AS fl FROM freq),
+ldpred AS (SELECT doc_id{carry}, ls, fl FROM ls, flist)"""
+    return ctes, keep
+
+
+def _sql_line_dedup() -> str:
+    ctes, keep = _sql_line_dedup_core("docs2", _LINE_MIN_DOCS)
+    return f"""
+WITH {_SQL_MULTILINE},
+{ctes}
 SELECT doc_id,
        array_to_string(list_filter(ls, l -> {keep}), chr(10)) AS text,
        CAST(len(list_filter(ls, l -> {keep})) AS BIGINT) AS n_kept,
        CAST(len(ls) - len(list_filter(ls, l -> {keep})) AS BIGINT)
          AS n_dropped
-FROM ls, flist"""
+FROM ldpred"""
+
+
+# ------------------------------------------------- full prep funnel
+# q_prep pins the COMPOSITION of the whole LLM-data prep chain
+# (line dedup → PII scrub → curate → decontaminate → mixture →
+# shard pack) value-exactly: the synthetic corpus is first dirtied
+# with PII and restructured into boilerplate-framed lines (both
+# engine-mirrored), then the oracle replays every stage in one SQL.
+_PREP_RATES = {"en": 0.8, "de": 0.9, "fr": 0.7, "es": 0.85, "zh": 0.95}
+_PREP_SEED, _PREP_BUDGET, _PREP_BITS = 9, 500, 3
+
+
+def q_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep funnel (operators/prep.py):
+    the per-shard manifest of the cleaned, curated, decontaminated,
+    mixture-sampled, token-packed corpus."""
+    from ..operators.dedup import _spread
+    from ..operators.prep import prepare_training_data
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "lang", _dirty_text().alias("text"))
+    docs2 = base.select("doc_id", "lang", _multiline_expr().alias("text"))
+    res = prepare_training_data(
+        _spread(docs2), bench=_synth_bench(spark, sf_dir),
+        min_line_docs=_LINE_MIN_DOCS, quality_min=0.6,
+        min_jaccard=_MIN_J, n_hashes=_MINHASH_N, band_size=_BAND_SIZE,
+        shingle_k=_SHINGLE_K, decon_n=_DECON_N, mixture=_PREP_RATES,
+        sample_seed=_PREP_SEED, shard_budget=_PREP_BUDGET,
+        shard_seed=_PREP_SEED, bucket_bits=_PREP_BITS)
+    for c in res._caches:
+        _defer_release(c)   # unpersisted at the next registry call
+    return res.manifest
+
+
+def _sql_prep() -> str:
+    ld_ctes, keep = _sql_line_dedup_core(
+        "docs2", _LINE_MIN_DOCS, carry=", lang")
+    gh = duckdb_portable_hash("g", seed=decon.GRAM_SEED)
+    sh13 = _sql_shingles("text", _DECON_N)
+    mixh = smp.duckdb_sample_hash("doc_id", _PREP_SEED)
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(r * smp.HASH_SPACE)}"
+        for g, r in sorted(_PREP_RATES.items()))
+    packh = smp.duckdb_sample_hash("doc_id", _PREP_SEED)
+    return f"""
+WITH {_sql_dirty('documents', carry=', lang')},
+{_sql_multiline('dirty', carry=', lang')},
+{ld_ctes},
+cleaned AS (
+  SELECT doc_id, lang,
+         array_to_string(list_filter(ls, l -> {keep}), chr(10)) AS text
+  FROM ldpred),
+scrubbed AS (
+  SELECT doc_id, lang, {pii_op.duckdb_scrub_sql('text')} AS text
+  FROM cleaned),
+{_sql_curate_core('scrubbed')},
+kept AS (
+  SELECT f.doc_id, f.lang, f.text
+  FROM flagged f LEFT JOIN drops d ON f.doc_id = d.doc_id
+  WHERE f.is_keeper AND d.doc_id IS NULL),
+{_SQL_BENCH},
+bg AS (SELECT DISTINCT {gh} AS gram_h
+       FROM (SELECT unnest({sh13}) AS g FROM bench)),
+dg AS (SELECT doc_id, {gh} AS gram_h
+       FROM (SELECT doc_id, unnest({sh13}) AS g FROM kept)),
+contam AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram_h)),
+clean AS (
+  SELECT k2.* FROM kept k2 LEFT JOIN contam c ON k2.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL),
+mixed AS (
+  SELECT * FROM clean
+  WHERE {mixh} < (CASE lang {cases} ELSE -1 END)),
+pbase AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         {packh} AS h
+  FROM mixed),
+ppacked AS (
+  SELECT doc_id, n_tok,
+         (coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+         // {_PREP_BUDGET} AS shard_id
+  FROM pbase)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM ppacked GROUP BY shard_id"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2258,6 +2383,7 @@ QUERIES = {
     "q_shard_pack": q_shard_pack,
     "q_pii_scrub": q_pii_scrub,
     "q_line_dedup": q_line_dedup,
+    "q_prep": q_prep,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_components": q_components,
@@ -2307,6 +2433,7 @@ ORACLE_SQL = {
     "q_shard_pack": _sql_shard_pack(),
     "q_pii_scrub": _sql_pii_scrub(),
     "q_line_dedup": _sql_line_dedup(),
+    "q_prep": _sql_prep(),
     "q_simhash": _sql_simhash(),
     "q_simhash_pairs": _sql_simhash_pairs(),
     "q_components": _sql_components(),
