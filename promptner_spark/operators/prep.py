@@ -48,12 +48,14 @@ from .shard import shard_pack
 
 @dataclass
 class PrepResult:
-    """Handles to the funnel's outputs. ``packed`` assigns every
-    surviving doc to a training shard (doc_id, lang, n_tok,
-    shard_id); ``manifest`` is the per-shard summary a write job
-    sizes files with. Call :meth:`unpersist` when done — the curate
-    flags frame is the funnel's one persisted stage boundary."""
+    """Handles to the funnel's outputs. ``kept`` is the surviving
+    cleaned corpus (doc_id, lang, text — persisted); ``packed``
+    assigns every surviving doc to a training shard (doc_id, lang,
+    n_tok, shard_id); ``manifest`` is the per-shard summary a write
+    job sizes files with. Call :meth:`unpersist` when done — or
+    :func:`write_training_shards` to materialize and release."""
 
+    kept: DataFrame
     packed: DataFrame
     manifest: DataFrame
     _caches: list[DataFrame] = field(default_factory=list)
@@ -126,8 +128,28 @@ def prepare_training_data(
     manifest = packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"))
-    return PrepResult(packed=packed, manifest=manifest,
+    return PrepResult(kept=kept, packed=packed, manifest=manifest,
                       _caches=[flags, kept])
 
 
-__all__ = ["PrepResult", "prepare_training_data"]
+def write_training_shards(res: PrepResult, path: str,
+                          release: bool = True) -> None:
+    """Materialize the funnel: one parquet dataset of the kept text
+    partitioned by shard_id (each shard = ~budget tokens = one
+    training file group) plus the manifest beside it. The shard
+    assignment joins back on doc_id — at corpus scale both sides hash
+    the same key, and the write repartitions BY shard so each shard's
+    rows land in one task's files (the partitionBy sees pre-grouped
+    data instead of every task appending to every shard directory)."""
+    docs = res.kept.join(res.packed.select("doc_id", "n_tok", "shard_id"),
+                         "doc_id")
+    (docs.repartition(F.col("shard_id"))
+         .write.mode("overwrite").partitionBy("shard_id")
+         .parquet(f"{path}/shards"))
+    res.manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+    if release:
+        res.unpersist()
+
+
+__all__ = ["PrepResult", "prepare_training_data",
+           "write_training_shards"]

@@ -55,6 +55,40 @@ def test_bench_hit_is_removed(spark, sf_dir):
     res.unpersist()
 
 
+def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    from promptner_spark.operators.prep import write_training_shards
+
+    docs = _corpus(spark, sf_dir)
+    res = prepare_training_data(docs, shard_budget=200, bucket_bits=2)
+    manifest = {m["shard_id"]: (m["n_docs"], m["n_tokens"])
+                for m in res.manifest.collect()}
+    write_training_shards(res, str(tmp_path))   # releases caches
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    got = {r["shard_id"]: (r["n"], r["t"]) for r in
+           back.groupBy("shard_id")
+               .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("t"))
+               .collect()}
+    assert got == manifest
+    stored = {m["shard_id"]: (m["n_docs"], m["n_tokens"])
+              for m in spark.read.parquet(str(tmp_path / "manifest"))
+              .collect()}
+    assert stored == manifest
+    assert "text" in back.columns and "lang" in back.columns
+
+
+def test_q_prep_plan_has_no_cartesian_or_python(spark):
+    from promptner_spark.plans.queries import QUERIES
+
+    df = QUERIES["q_prep"](spark, os.path.join(
+        os.path.dirname(os.environ.get("SPARK_GRAFT_TESTDATA",
+                                       "/root/testdata")),
+        "testdata", "sf0.001"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan          # whole funnel is JVM codegen
+
+
 def test_mixture_zero_rate_empties_the_shards(spark, sf_dir):
     docs = _corpus(spark, sf_dir)
     res = prepare_training_data(
