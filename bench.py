@@ -102,6 +102,8 @@ HEADLINE = [
     "q_predicates",         # lexical predicate-triple extraction
     "q_pagerank",           # iterative PageRank over the entity graph
     "q_pmi",                # PMI edge weighting
+    "q_outlinks",           # href parse + edge explode, shuffle-free (r5)
+    "q_link_pagerank",      # distributed PageRank over the page graph (r5)
 ]
 
 # The benched flagship runs the PRODUCTION xxhash64 LSH band family;

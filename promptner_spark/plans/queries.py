@@ -2171,6 +2171,100 @@ SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes,
 FROM pages"""
 
 
+# ------------------------------------------------------ link graph
+
+# Every href in every page, exploded — the DuckDB mirror of
+# operators/linkgraph.py::outlink_edges' parse stage.
+_SQL_LINKS_CTE = """lraw AS (
+  SELECT url AS src,
+         unnest(regexp_extract_all(decode(html),
+                'href="([^"]+)"', 1)) AS dst
+  FROM pages)"""
+
+
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl link graph parsed from html hrefs
+    (operators/linkgraph.py): one codegen regexp in the scan + a
+    map-side explode — no shuffle anywhere in the plan."""
+    from ..operators.linkgraph import outlink_edges
+
+    return outlink_edges(synthesize_pages(spark, sf_dir))
+
+
+def _sql_outlinks() -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {_SQL_LINKS_CTE}
+SELECT src, dst, (dst LIKE 'https://ex.com/%') AS internal,
+       regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host
+FROM lraw"""
+
+
+_HUB_MIN_INDEG = 10
+
+
+def q_link_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub pages of the internal link graph: salted two-phase
+    indegree (web indegree is Zipfian — hub pages own a constant
+    fraction of all edges), hubs only (indeg >= 10). Value-equal to a
+    plain groupBy count; the oracle checks exactly that."""
+    from ..operators.linkgraph import indegree, outlink_edges
+
+    edges = outlink_edges(synthesize_pages(spark, sf_dir)) \
+        .where(F.col("internal"))
+    deg = indegree(edges)
+    return deg.where(F.col("indeg") >= _HUB_MIN_INDEG)
+
+
+def _sql_link_hubs() -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {_SQL_LINKS_CTE}
+SELECT dst, CAST(count(*) AS BIGINT) AS indeg
+FROM lraw WHERE dst LIKE 'https://ex.com/%'
+GROUP BY dst HAVING count(*) >= {_HUB_MIN_INDEG}"""
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The host-level crawl graph (linkgraph.host_link_stats): hosts
+    are a vanishing vocabulary next to pages, so the aggregate's
+    output is broadcast-sized at any corpus scale."""
+    from ..operators.linkgraph import host_link_stats, outlink_edges
+
+    return host_link_stats(outlink_edges(synthesize_pages(spark, sf_dir)))
+
+
+def _sql_host_graph() -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {_SQL_LINKS_CTE}
+SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS src_host,
+       regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages
+FROM lraw GROUP BY 1, 2"""
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the internal page-link graph
+    (operators/linkgraph.py::link_pagerank). Unlike q_pagerank's
+    vocabulary-bounded entity graph, the node set here is the PAGE
+    set — it grows with the corpus, so this runs the distributed
+    path (the 100 TB shape), not driver-local mode."""
+    from ..operators.linkgraph import link_pagerank
+
+    return link_pagerank(synthesize_pages(spark, sf_dir), n_iter=4)
+
+
+def _sql_link_pagerank(n_iter: int = 4, damping: float = 0.85) -> str:
+    # literal replay of pagerank()'s symmetrize-then-distinct
+    edge_ctes = f"""{DUCKDB_PAGES_CTE}, {_SQL_LINKS_CTE},
+il AS (
+  SELECT DISTINCT src AS s, dst AS t FROM lraw
+  WHERE dst LIKE 'https://ex.com/%'),
+edges AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT s, t FROM il UNION ALL SELECT t AS s, s AS t FROM il))"""
+    return _sql_pagerank_over(edge_ctes, n_iter, damping)
+
+
 # ------------------------------------------------- predicate extraction
 def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical predicate triples: adjacent oracle-gazetteer mentions
@@ -2265,13 +2359,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     local_max_edges=100_000)
 
 
-def _sql_pagerank(n_iter: int = 4, damping: float = 0.85) -> str:
+def _sql_pagerank_over(edge_ctes: str, n_iter: int = 4,
+                       damping: float = 0.85) -> str:
     """Unrolled-CTE replay of the FIXED-POINT integer PageRank
-    (graph_analytics.py): int64 numerators at PR_SCALE, integer
-    division for contributions and damping — bit-identical under any
-    summation order, so DuckDB reproduces Spark exactly without any
-    rounding-boundary luck (r4: a property test showed the old 9-dp
-    float pinning could flip the 6th dp on larger graphs)."""
+    (graph_analytics.py) over ANY edge set: ``edge_ctes`` is a WITH
+    body whose last CTE is ``edges(s, t)`` — the already
+    symmetrized+distinct edge list the operator builds internally.
+    int64 numerators at PR_SCALE, integer division for contributions
+    and damping — bit-identical under any summation order, so DuckDB
+    reproduces Spark exactly without any rounding-boundary luck (r4:
+    a property test showed the old 9-dp float pinning could flip the
+    6th dp on larger graphs)."""
     from ..operators.graph_analytics import PR_SCALE, damping_ratio
     p, q = damping_ratio(damping)
     base = f"(({q - p}) * {PR_SCALE}) // ({q} * (SELECT c FROM nn))"
@@ -2285,19 +2383,25 @@ def _sql_pagerank(n_iter: int = 4, damping: float = 0.85) -> str:
         prev = f"pr{i}"
     chain = ",\n".join(steps)
     return f"""
-WITH {DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()}, {_sql_mentions_cte()},
-{DUCKDB_ALIASES_CTE}, {_SQL_ENTS_CTE},
-e0 AS (
-  SELECT DISTINCT a.entity_name AS s, b.entity_name AS t
-  FROM ents a JOIN ents b
-    ON a.url = b.url AND a.entity_name < b.entity_name),
-edges AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+WITH {edge_ctes},
 deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
 nn AS (SELECT count(*) AS c FROM deg),
 pr0 AS (SELECT s AS node, {PR_SCALE} // (SELECT c FROM nn) AS pr FROM deg),
 {chain}
 SELECT node, ((pr + 500000) // 1000000) / 1e6 AS pagerank
 FROM {prev}"""
+
+
+def _sql_pagerank(n_iter: int = 4, damping: float = 0.85) -> str:
+    """PageRank oracle over the doc-co-occurrence entity graph."""
+    edge_ctes = f"""{DUCKDB_PAGES_CTE}, {duckdb_gazetteer_cte()}, {_sql_mentions_cte()},
+{DUCKDB_ALIASES_CTE}, {_SQL_ENTS_CTE},
+e0 AS (
+  SELECT DISTINCT a.entity_name AS s, b.entity_name AS t
+  FROM ents a JOIN ents b
+    ON a.url = b.url AND a.entity_name < b.entity_name),
+edges AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0)"""
+    return _sql_pagerank_over(edge_ctes, n_iter, damping)
 
 
 _PMI_DOC_CAP = 16
@@ -2404,6 +2508,10 @@ QUERIES = {
     "q_pmi": q_pmi,
     "q_nil_merge": q_nil_merge,
     "q_warc_roundtrip": q_warc_roundtrip,
+    "q_outlinks": q_outlinks,
+    "q_link_hubs": q_link_hubs,
+    "q_host_graph": q_host_graph,
+    "q_link_pagerank": q_link_pagerank,
 }
 QUERIES = {name: _managed(fn) for name, fn in QUERIES.items()}
 
@@ -2454,4 +2562,8 @@ ORACLE_SQL = {
     "q_warc_roundtrip": _sql_warc_roundtrip(),
     "q_knn_ivf": _sql_knn_ivf(),
     "q_pipeline_triples": _sql_pipeline_triples(),
+    "q_outlinks": _sql_outlinks(),
+    "q_link_hubs": _sql_link_hubs(),
+    "q_host_graph": _sql_host_graph(),
+    "q_link_pagerank": _sql_link_pagerank(),
 }

@@ -26,24 +26,63 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 # Canonical page template. Kept to one <p> element so the inverse is a
 # single anchored regexp in BOTH engines (Spark regexp_extract /
-# DuckDB regexp_extract).
+# DuckDB regexp_extract). A <nav> of deterministic outlinks follows
+# the article text — web pages carry links, and the link-graph
+# operators (operators/linkgraph.py) parse them back out; the nav
+# sits OUTSIDE <p>…</p> so the byte-identical text extractor is
+# untouched.
 _PREFIX = "<html><head><title>doc "
 _MID = "</title></head><body><article><p>"
-_SUFFIX = "</p></article></body></html>"
 
 URL_PREFIX = "https://ex.com/"
 EXTRACT_PATTERN = "<p>(.*)</p>"
+
+# Deterministic outlink rule (pure integer function of doc_id, so the
+# DuckDB oracle rebuilds the identical link graph):
+#   parent  d -> d div 2            (d > 0; binary-tree "up" link)
+#   hub     d -> d - d mod HUB_MOD  (skipped when self or == parent;
+#                                    gives hub pages Zipf-ish indegree
+#                                    ~HUB_MOD — the skew the salted
+#                                    indegree aggregate exists for)
+#   external d -> https://cdn{d mod EXT_HOST_MOD}.example/a/{d}
+#                                   (dangling cross-host edge)
+PARENT_DIV = 2
+HUB_MOD = 50
+EXT_HOST_MOD = 7
 
 
 def url_of(doc_id: Column) -> Column:
     return F.concat(F.lit(URL_PREFIX), doc_id.cast("string"))
 
 
+def _nav_of(doc_id: Column) -> Column:
+    """The deterministic <nav> outlink block (see the rule above)."""
+    d = doc_id.cast("long")
+    parent = F.shiftright(d, 1)  # d div 2, exact for non-negative ids
+    hub = (d - F.pmod(d, F.lit(HUB_MOD))).cast("long")
+    a_parent = F.when(
+        d > 0,
+        F.concat(F.lit('<a href="' + URL_PREFIX), parent.cast("string"),
+                 F.lit('">up</a>')),
+    ).otherwise(F.lit(""))
+    a_hub = F.when(
+        (hub != d) & (hub != parent),
+        F.concat(F.lit('<a href="' + URL_PREFIX), hub.cast("string"),
+                 F.lit('">hub</a>')),
+    ).otherwise(F.lit(""))
+    a_ext = F.concat(
+        F.lit('<a href="https://cdn'),
+        F.pmod(d, F.lit(EXT_HOST_MOD)).cast("string"),
+        F.lit(".example/a/"), d.cast("string"), F.lit('">x</a>'))
+    return F.concat(F.lit("<nav>"), a_parent, a_hub, a_ext, F.lit("</nav>"))
+
+
 def html_of(doc_id: Column, lang: Column, text: Column) -> Column:
     """Deterministic html wrapping of ``text`` (BINARY, UTF-8)."""
     page = F.concat(
         F.lit(_PREFIX), doc_id.cast("string"), F.lit(" ["), lang, F.lit("]"),
-        F.lit(_MID), text, F.lit(_SUFFIX),
+        F.lit(_MID), text, F.lit("</p>"), _nav_of(doc_id),
+        F.lit("</article></body></html>"),
     )
     return F.encode(page, "UTF-8")
 
@@ -125,10 +164,26 @@ def pages_with_extracted_text(spark: SparkSession, sf_dir: str,
 
 
 # DuckDB mirror of the synthesis, used by oracle_sql() so the oracle
-# rebuilds the identical pages table from documents.parquet.
+# rebuilds the identical pages table (nav outlinks included) from
+# documents.parquet. `doc_id // 2` == shiftright(d,1) for the
+# non-negative ids both corpora use.
+_DUCKDB_NAV = (
+    "'<nav>', "
+    "CASE WHEN doc_id > 0 THEN concat('<a href=\"https://ex.com/', "
+    f"CAST(doc_id // {PARENT_DIV} AS VARCHAR), '\">up</a>') ELSE '' END, "
+    f"CASE WHEN (doc_id - doc_id % {HUB_MOD}) <> doc_id "
+    f"AND (doc_id - doc_id % {HUB_MOD}) <> (doc_id // {PARENT_DIV}) "
+    "THEN concat('<a href=\"https://ex.com/', "
+    f"CAST(doc_id - doc_id % {HUB_MOD} AS VARCHAR), '\">hub</a>') ELSE '' END, "
+    f"concat('<a href=\"https://cdn', CAST(doc_id % {EXT_HOST_MOD} AS VARCHAR), "
+    "'.example/a/', CAST(doc_id AS VARCHAR), '\">x</a>'), "
+    "'</nav>'"
+)
 DUCKDB_PAGES_CTE = (
     "pages AS (SELECT concat('https://ex.com/', CAST(doc_id AS VARCHAR)) AS url, "
     "encode(concat('<html><head><title>doc ', CAST(doc_id AS VARCHAR), ' [', lang, "
-    "']</title></head><body><article><p>', text, '</p></article></body></html>')) AS html, "
+    "']</title></head><body><article><p>', text, '</p>', "
+    + _DUCKDB_NAV +
+    ", '</article></body></html>')) AS html, "
     "text, lang, doc_id FROM documents)"
 )
