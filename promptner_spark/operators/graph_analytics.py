@@ -377,3 +377,105 @@ def pmi_edges_from_docsets(doc_sets: DataFrame, min_docs: int = 2,
         .where(F.col("n_docs") >= min_docs)
     )
     return _pmi_score(pairs, marg, total)
+
+
+# --------------------------------------------------------------- HITS
+
+HITS_SCALE = 10**6
+
+
+def hits(edges: DataFrame, n_iter: int = 4, src: str = "src",
+         dst: str = "dst", checkpoint: bool = True) -> DataFrame:
+    """HITS hubs/authorities over a DIRECTED edge list →
+    (node, hub, authority), fixed-point integer arithmetic.
+
+    Fixed ``n_iter`` mutual-reinforcement iterations (deterministic,
+    oracle-checkable — same rationale as :func:`pagerank`):
+    authority(v) = Σ hub(u) over u→v, hub(u) = Σ authority(v) over
+    u→v, each half-step max-normalized to ``HITS_SCALE``.
+
+    **Determinism by construction:** scores are int64 at HITS_SCALE;
+    each half-step is an exact integer sum (associative/commutative
+    under ANY partitioning), a max (order-free), and a floor division
+    by that max pulled to the driver — so the trajectory is
+    bit-identical across engines and cluster sizes, like the
+    fixed-point PageRank. The conventional L2 normalization is
+    replaced by max-normalization precisely because sqrt has no exact
+    integer form; rankings are unaffected (normalization is a
+    positive scalar either way).
+
+    **Magnitude bound:** raw sums ≤ max_degree · HITS_SCALE and the
+    rescale multiplies by HITS_SCALE again, so int64 holds while
+    max_degree < 2^63 / HITS_SCALE² ≈ 9.2e6. Beyond that (extreme web
+    hubs), shard the hub key first (operators/skew.py) or drop
+    HITS_SCALE a decade.
+
+    The per-half-step driver max is 2 small actions per iteration
+    over node-sized aggregates — the same driver-scalar pattern as
+    pagerank's node count, paid n_iter times; each half-step is
+    localCheckpointed so the next join reads materialized blocks, not
+    recomputed lineage."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    nodes = e.select(F.col("s").alias("node")).unionByName(
+        e.select(F.col("t").alias("node"))).distinct()
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+
+    def _normalized(raw: DataFrame) -> DataFrame:
+        # raw: (node, v) integer sums; rescale so max == HITS_SCALE
+        if checkpoint:
+            raw = raw.localCheckpoint(eager=True)
+        m = raw.agg(F.max("v")).collect()[0][0]
+        if not m:   # no edges at all
+            return raw
+        return raw.select(
+            "node", F.expr(f"(v * {HITS_SCALE}) div {m}").alias("v"))
+
+    h = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("v"))
+    a = None
+    for _ in range(n_iter):
+        a = _normalized(
+            e.join(h.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum("v").cast("long").alias("v")))
+        h = _normalized(
+            e.join(a.withColumnRenamed("node", "t"), "t")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("v").cast("long").alias("v")))
+    return (
+        nodes
+        .join(h.withColumnRenamed("v", "hv"), "node", "left")
+        .join(a.withColumnRenamed("v", "av"), "node", "left")
+        .select(
+            "node",
+            (F.coalesce(F.col("hv"), F.lit(0)) / HITS_SCALE).alias("hub"),
+            (F.coalesce(F.col("av"), F.lit(0)) / HITS_SCALE)
+            .alias("authority"))
+    )
+
+
+def cocitation_counts(edges: DataFrame, min_count: int = 2,
+                      src: str = "src", dst: str = "dst",
+                      max_links_per_src: int | None = None) -> DataFrame:
+    """Co-citation: (a, b, n_cocited) — how many sources link to BOTH
+    a and b (a < b). The in-row pair-emission shape (inrow_pairs, the
+    PMI/triples trick): group links per source into a sorted distinct
+    array, emit pairs inside the row, ONE count shuffle — no edge
+    self-join, which at web scale would square the hub fanout.
+    ``max_links_per_src`` bounds the per-row pair fanout the same way
+    PMI's per-doc cap does (directory-page sources link to
+    thousands; their pairs are quadratic in that cap)."""
+    sets = edges.groupBy(F.col(src).alias("s")).agg(
+        F.array_sort(F.collect_set(F.col(dst))).alias("dsts"))
+    if max_links_per_src is not None:
+        sets = sets.select(
+            "s", F.slice("dsts", 1, max_links_per_src).alias("dsts"))
+    return (
+        sets.where(F.size("dsts") >= 2)
+        .select(F.explode(inrow_pairs("dsts")).alias("p"))
+        .groupBy(F.col("p.subj").alias("a"), F.col("p.obj").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cocited"))
+        .where(F.col("n_cocited") >= min_count)
+    )

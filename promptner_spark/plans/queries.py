@@ -2265,6 +2265,83 @@ edges AS (
     return _sql_pagerank_over(edge_ctes, n_iter, damping)
 
 
+def _internal_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkgraph import outlink_edges
+
+    return outlink_edges(synthesize_pages(spark, sf_dir)) \
+        .where(F.col("internal")).select("src", "dst")
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the directed internal link graph
+    (graph_analytics.hits): fixed-point integer trajectory with
+    max-normalized half-steps — bit-identical across engines /
+    partitionings by construction, like the fixed-point PageRank."""
+    from ..operators.graph_analytics import hits
+
+    return hits(_internal_link_edges(spark, sf_dir), n_iter=4)
+
+
+def _sql_hits(n_iter: int = 4) -> str:
+    # MATERIALIZED is load-bearing: each half-step CTE is referenced
+    # twice (FROM + the scalar-subquery max), and DuckDB's default
+    # CTE inlining would expand the 4-iteration chain into an
+    # exponentially duplicated tree (measured: hangs on 4 edges).
+    from ..operators.graph_analytics import HITS_SCALE
+    steps, prev_h = [], "h0"
+    for i in range(1, n_iter + 1):
+        steps.append(f"""a{i}r AS MATERIALIZED (
+  SELECT e.t AS node, CAST(sum(h.v) AS BIGINT) AS v
+  FROM e JOIN {prev_h} h ON e.s = h.node GROUP BY e.t),
+a{i} AS MATERIALIZED (
+  SELECT node, (v * {HITS_SCALE}) // (SELECT max(v) FROM a{i}r) AS v
+  FROM a{i}r),
+h{i}r AS MATERIALIZED (
+  SELECT e.s AS node, CAST(sum(a.v) AS BIGINT) AS v
+  FROM e JOIN a{i} a ON e.t = a.node GROUP BY e.s),
+h{i} AS MATERIALIZED (
+  SELECT node, (v * {HITS_SCALE}) // (SELECT max(v) FROM h{i}r) AS v
+  FROM h{i}r)""")
+        prev_h = f"h{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {_SQL_LINKS_CTE},
+e AS MATERIALIZED (
+  SELECT DISTINCT src AS s, dst AS t FROM lraw
+  WHERE dst LIKE 'https://ex.com/%'),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM e UNION ALL SELECT t FROM e)),
+h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS v FROM nodes),
+{chain}
+SELECT n.node, coalesce(h.v, 0) / {HITS_SCALE}.0 AS hub,
+       coalesce(a.v, 0) / {HITS_SCALE}.0 AS authority
+FROM nodes n
+LEFT JOIN h{n_iter} h ON n.node = h.node
+LEFT JOIN a{n_iter} a ON n.node = a.node"""
+
+
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation counts over the internal link graph
+    (graph_analytics.cocitation_counts): in-row pair emission from
+    per-source sorted link sets — no edge self-join."""
+    from ..operators.graph_analytics import cocitation_counts
+
+    return cocitation_counts(_internal_link_edges(spark, sf_dir),
+                             min_count=2)
+
+
+def _sql_cocitation(min_count: int = 2) -> str:
+    return f"""
+WITH {DUCKDB_PAGES_CTE}, {_SQL_LINKS_CTE},
+il AS (
+  SELECT DISTINCT src, dst FROM lraw
+  WHERE dst LIKE 'https://ex.com/%')
+SELECT l1.dst AS a, l2.dst AS b, CAST(count(*) AS BIGINT) AS n_cocited
+FROM il l1 JOIN il l2 ON l1.src = l2.src AND l1.dst < l2.dst
+GROUP BY 1, 2 HAVING count(*) >= {min_count}"""
+
+
 # ------------------------------------------------- predicate extraction
 def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical predicate triples: adjacent oracle-gazetteer mentions
@@ -2512,6 +2589,8 @@ QUERIES = {
     "q_link_hubs": q_link_hubs,
     "q_host_graph": q_host_graph,
     "q_link_pagerank": q_link_pagerank,
+    "q_hits": q_hits,
+    "q_cocitation": q_cocitation,
 }
 QUERIES = {name: _managed(fn) for name, fn in QUERIES.items()}
 
@@ -2566,4 +2645,6 @@ ORACLE_SQL = {
     "q_link_hubs": _sql_link_hubs(),
     "q_host_graph": _sql_host_graph(),
     "q_link_pagerank": _sql_link_pagerank(),
+    "q_hits": _sql_hits(),
+    "q_cocitation": _sql_cocitation(),
 }

@@ -262,3 +262,103 @@ def test_pagerank_probe_is_cheap_and_reuses_sym(spark):
     pr = pagerank(edges, n_iter=1, local_max_edges=2, checkpoint=False)
     plan = pr._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan, plan
+
+
+# --------------------------------------------------- HITS / co-citation
+
+def _py_hits(edges, n_iter=4, scale=10**6):
+    """Pure-Python mirror of graph_analytics.hits' integer recipe."""
+    from collections import defaultdict
+
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    h, a = {n: scale for n in nodes}, {}
+    for _ in range(n_iter):
+        a_raw = defaultdict(int)
+        for s, t in e:
+            a_raw[t] += h.get(s, 0)
+        m = max(a_raw.values())
+        a = {n: v * scale // m for n, v in a_raw.items()}
+        h_raw = defaultdict(int)
+        for s, t in e:
+            h_raw[s] += a.get(t, 0)
+        m = max(h_raw.values())
+        h = {n: v * scale // m for n, v in h_raw.items()}
+    return {n: (h.get(n, 0) / scale, a.get(n, 0) / scale) for n in nodes}
+
+
+def test_hits_hand_structure(spark):
+    """x->a, y->a, y->b, z->b: y links BOTH authorities so it is the
+    top hub; pure-sink nodes have hub 0; the symmetric authorities
+    tie exactly."""
+    from promptner_spark.operators.graph_analytics import hits
+
+    edges = [("x", "a"), ("y", "a"), ("y", "b"), ("z", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df).collect()}
+    assert got == _py_hits(edges)
+    assert got["y"][0] == 1.0                      # max-normalized top hub
+    assert got["y"][0] > got["x"][0] > 0
+    assert got["x"][0] == got["z"][0]
+    assert got["a"][0] == 0.0 and got["b"][0] == 0.0   # sinks: no hub
+    assert got["a"][1] == got["b"][1] == 1.0           # symmetric tie
+
+
+def test_hits_matches_python_mirror_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = sorted({(rng.choice(nodes), rng.choice(nodes))
+                    for _ in range(150)})
+    edges = [(s, t) for s, t in edges if s != t]
+    from promptner_spark.operators.graph_analytics import hits
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df).collect()}
+    assert got == _py_hits(edges)
+
+
+def test_hits_partition_independent(spark):
+    """The fixed-point claim: identical output under different input
+    partitionings."""
+    import random
+
+    rng = random.Random(11)
+    edges = sorted({(f"s{rng.randrange(30)}", f"t{rng.randrange(30)}")
+                    for _ in range(120)})
+    from promptner_spark.operators.graph_analytics import hits
+
+    outs = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(edges, ["src", "dst"]).repartition(parts)
+        outs.append(sorted(
+            (r["node"], r["hub"], r["authority"])
+            for r in hits(df).collect()))
+    assert outs[0] == outs[1]
+
+
+def test_cocitation_hand_case(spark):
+    from promptner_spark.operators.graph_analytics import cocitation_counts
+
+    edges = [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b"),
+             ("s3", "a"), ("s3", "c"), ("s3", "a")]   # dup link dedups
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r["a"], r["b"]): r["n_cocited"]
+           for r in cocitation_counts(df, min_count=2).collect()}
+    assert got == {("a", "b"): 2}
+    got1 = {(r["a"], r["b"]): r["n_cocited"]
+            for r in cocitation_counts(df, min_count=1).collect()}
+    assert got1 == {("a", "b"): 2, ("a", "c"): 1}
+
+
+def test_cocitation_cap_bounds_fanout(spark):
+    from promptner_spark.operators.graph_analytics import cocitation_counts
+
+    edges = [("hub", f"d{i}") for i in range(10)] + \
+            [("s2", "d0"), ("s2", "d1")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    capped = cocitation_counts(df, min_count=1, max_links_per_src=2)
+    # sorted dsts: hub contributes only (d0, d1); s2 the same pair
+    got = {(r["a"], r["b"]): r["n_cocited"] for r in capped.collect()}
+    assert got == {("d0", "d1"): 2}
