@@ -42,7 +42,6 @@ Scale shape (the 100 TB lens):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions import langid as L
 from ..functions.textstats import quality_score
@@ -94,25 +93,55 @@ def curate_flags(
         & (F.col("doc_id")
            == F.min(F.when(F.col("pass_gate"), F.col("doc_id"))).over(w)),
     )
-    # The flags frame feeds BOTH the near-dup subplan (via keepers)
-    # and the caller's final read — without a materialization barrier
-    # Spark recomputes the signal+gate+window subplan once per branch
-    # (measured: ~2 s of the ~7 s sf0.1 q_curate). MEMORY_AND_DISK:
-    # at corpus scale this is the standard persisted stage boundary a
-    # production run would checkpoint anyway (spill-safe, no OOM risk).
-    flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
-    keepers = flagged.where(F.col("is_keeper")).select("doc_id", "text")
+    # The flags frame feeds the near-dup subplan FOUR ways (both band
+    # self-join sides + both jaccard-verify text lookups) plus the
+    # caller's final read — and a LAZY persist lets those concurrent
+    # plan branches race to fill the cache, each recomputing the whole
+    # signal+gate+window subplan (r6 stage audit: the upstream chain
+    # ran 4x inside one q_prep job, ~7 s CPU per copy). An EAGER
+    # localCheckpoint fills the boundary in one pass before any branch
+    # hangs off it AND truncates the lineage, so every downstream job
+    # plans against a tiny LogicalRDD instead of re-analyzing the
+    # signal+gate+window tree (~0.5 s of driver time per action at
+    # sf0.1 — the funnel runs four more actions over this). Storage is
+    # MEMORY_AND_DISK like the persist it replaces (spill-safe);
+    # blocks are reclaimed by the ContextCleaner when the query's
+    # frames drop. At corpus scale this is the stage boundary a
+    # production run checkpoints to parquet anyway (guide §5).
+    flagged = flagged.localCheckpoint(eager=True)
+    # The keepers slice feeds the LSH subplan FOUR ways (two band
+    # self-join sides, two jaccard-verify text lookups). Cut it over
+    # to an eager localCheckpoint (guide §5: the cheap lineage cut):
+    # the four consumers then scan one materialized row set — measured
+    # r6: the same drops subplan fed straight off the InMemoryTableScan
+    # ran the md5-signature build once PER SIDE and an order of
+    # magnitude slower per row (120 s vs 14 s on the isolated subplan);
+    # off the checkpoint the signature exchange is computed once and
+    # codegen runs at parquet-scan speed. Blocks are executor-local and
+    # reclaimed by the ContextCleaner when the query's frames drop.
+    keepers = flagged.where(F.col("is_keeper")).select("doc_id", "text") \
+        .localCheckpoint(eager=True)
     pairs = minhash_dedup_pairs(
         keepers, min_jaccard=min_jaccard, n_hashes=n_hashes,
         band_size=band_size, shingle_k=shingle_k)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct() \
         .withColumn("is_dropped", F.lit(True))
-    return (
+    out = (
         flagged.join(drops, "doc_id", "left")
         .withColumn("is_kept",
                     F.col("is_keeper") & F.col("is_dropped").isNull())
         .drop("is_dropped")
     )
+    # Both internal boundaries are localCheckpoints (ContextCleaner-
+    # reclaimed when the query's frames drop), so there is no cache
+    # handle for callers to release — the r5 protocol of unpersisting
+    # the RETURNED frame was a silent no-op anyway (cache entries are
+    # keyed on the exact plan, and `out` is a join over the boundary,
+    # not the boundary; the flagged cache leaked across queries — r6
+    # audit: CacheManager "already cached" warnings in the bench
+    # session).
+    out._promptner_caches = ()
+    return out
 
 
 def stats_from_flags(f: DataFrame) -> DataFrame:

@@ -59,8 +59,18 @@ def gram_hashes(df: DataFrame, n: int = DEFAULT_N, text_col: str = "text",
 def bench_gram_set(bench: DataFrame, n: int = DEFAULT_N,
                    text_col: str = "text",
                    id_col: str = "bench_id") -> DataFrame:
-    """The benchmark's distinct gram-hash set — the (small) probe side."""
-    return gram_hashes(bench, n, text_col, id_col) \
+    """The benchmark's distinct gram-hash set — the (small) probe side.
+
+    The bench frame is spread across cores before the gram explode:
+    it is small by nature, so its scan often yields fewer splits than
+    cores, and the per-gram hash work — the expensive part of the
+    build — then runs nearly serial ON THE CRITICAL PATH (the probe
+    broadcast cannot start until it finishes; r6 stage audit: 1.7 s
+    single-task build ahead of a 0.3 s corpus probe). One tiny
+    pre-explode shuffle of the bench rows fixes that at every scale
+    (the corpus side is untouched)."""
+    from .dedup import _spread
+    return gram_hashes(_spread(bench), n, text_col, id_col) \
         .select("gram_h").distinct()
 
 

@@ -36,7 +36,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from .curate import curate_flags
 from .decontaminate import DEFAULT_N, decontaminate
@@ -93,15 +92,12 @@ def prepare_training_data(
         docs, min_docs=min_line_docs, carry_cols=("lang",))
     scrubbed = cleaned.select(
         "doc_id", "lang", scrub_text(F.col("text")).alias("text"))
+    # curate_flags eager-fills its internal flags cache (r6: the fill
+    # races it used to leave to the caller are closed at the source),
+    # so every consumer below reads the cached boundary; no extra
+    # full pass over the joined flags frame is needed here.
     flags = curate_flags(scrubbed, quality_min, min_jaccard,
                          n_hashes, band_size, shingle_k)
-    # curate_flags persists its flags frame LAZILY; here its upstream
-    # is the whole line-dedup + scrub chain, so the two consumer paths
-    # inside the flags plan (main + near-dup drops) racing to fill the
-    # cache would re-derive that chain twice. One eager count() pins
-    # the fill (see plans/queries._managed_persist for the measured
-    # failure mode).
-    flags.count()
     kept = flags.where(F.col("is_kept")).select("doc_id", "lang", "text")
     if bench is not None:
         kept = decontaminate(kept, bench, n=decon_n)
@@ -111,12 +107,17 @@ def prepare_training_data(
     # The funnel's second multi-consumer boundary: shard_pack runs TWO
     # jobs over `kept` (the bucket-offsets collect, then the window
     # job) and the lang reattach + manifest read it again — without an
-    # EAGER persist each consumer re-derives the whole line-dedup →
-    # scrub → curate → decontaminate chain (measured: 42.8 s → ~8 s at
-    # sf0.01). Eager because lazy multi-consumer caches duplicate-
-    # compute under concurrent fills (see plans/queries._managed_persist).
-    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
-    kept.count()
+    # EAGER materialization each consumer re-derives the whole
+    # line-dedup → scrub → curate → decontaminate chain (measured:
+    # 42.8 s → ~8 s at sf0.01). r6: eager localCheckpoint instead of
+    # persist+count — same one-pass fill, but downstream consumers
+    # plan against the truncated lineage instead of re-analyzing the
+    # whole funnel tree per job (measured ~2 s of driver-side planning
+    # gaps across the 4 downstream jobs at sf0.1), and the scan avoids
+    # the InMemoryTableScan slow path measured in the curate subplan
+    # (guide §5: localCheckpoint as the cheap lineage cut; a
+    # production run checkpoints this boundary to parquet anyway).
+    kept = kept.localCheckpoint(eager=True)
     packed = shard_pack(kept, budget=shard_budget, seed=shard_seed,
                         bucket_bits=bucket_bits)
     # shard_pack drops non-key columns by design (text must not cross
@@ -128,8 +129,10 @@ def prepare_training_data(
     manifest = packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"))
+    # kept is a localCheckpoint (ContextCleaner-reclaimed), so only
+    # the curate flags cache needs managed release.
     return PrepResult(kept=kept, packed=packed, manifest=manifest,
-                      _caches=[flags, kept])
+                      _caches=[*getattr(flags, "_promptner_caches", ())])
 
 
 def write_training_shards(res: PrepResult, path: str,

@@ -721,7 +721,10 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = curate_flags(_spread(aug), quality_min=0.6,
                          min_jaccard=_MIN_J, n_hashes=_MINHASH_N,
                          band_size=_BAND_SIZE, shingle_k=_SHINGLE_K)
-    _defer_release(flags)   # unpersisted at the next registry call
+    # release the REAL persisted boundary (curate_flags exposes it via
+    # _promptner_caches; unpersisting the joined return frame was a
+    # silent no-op — r6 cache-leak fix) at the next registry call
+    _defer_release(*getattr(flags, "_promptner_caches", (flags,)))
     return stats_from_flags(flags)
 
 
@@ -831,8 +834,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): every
     training doc sharing a verbatim 13-token gram with the benchmark
     set, with its distinct-hit count — the report a pipeline acts on
-    before shipping a training shard."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    before shipping a training shard. The corpus side reads through
+    _docs_spread: the 13-gram shingle+hash build is the heavy map
+    work, and the small local parquet otherwise feeds it ONE scan
+    split (r6 stage audit: 3.5 s single-task; no-op at corpus scale
+    where splits exceed cores)."""
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     rep = decon.contamination_report(
         docs, _synth_bench(spark, sf_dir), n=_DECON_N)
     return rep.select(F.col("doc_id").cast("long").alias("doc_id"),

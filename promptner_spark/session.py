@@ -62,6 +62,19 @@ def build_session(
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # AQE coalesce floor. With parallelismFirst (default) the
+        # coalesce target is max(shuffleBytes/parallelism, THIS), so at
+        # cluster scale the size term dominates and this floor is inert;
+        # it only bites when a whole exchange is smaller than
+        # cores x 1 MB, where the default 1m floor collapses the read to
+        # ONE task and serializes every expression pipelined after it
+        # (r6 stage audit: 0.5-1.7 s single-task tails in the dedup/
+        # prep/triples queries — the post-shuffle work, not the fetch,
+        # is the cost). 64k keeps such stages wide; per-partition
+        # overhead at 64 KB is microseconds against the saved serial
+        # work. Scale-adaptive by construction — nothing here is tuned
+        # to this box's core count.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
