@@ -58,20 +58,28 @@ def pagerank(
     p·sum ≤ 850·10^12 ≪ 2^63. Floor-division mass loss per node per
     step is < (deg+1)/10^12 — invisible at 6 output dp."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-    sym = e.unionByName(
-        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).distinct()
     # force_local: the caller PROVES the graph is small from outside
     # knowledge (e.g. the registry's vocabulary bound: edges over a
     # v-entity vocabulary number ≤ v(v-1), known driver-side before
-    # any job). Then sym is consumed exactly once — straight into the
-    # driver — so the probe job AND the checkpoint job both vanish:
-    # one Spark job total.
+    # any job). Then the edge set is consumed exactly once — straight
+    # into the driver — so the probe job AND the checkpoint job both
+    # vanish: one Spark job total. r6: collect the DIRECTED distinct
+    # set and symmetrize driver-side — the distributed
+    # union(e, reverse(e)).distinct() evaluates the (often expensive,
+    # e.g. in-row pair-exploding) `e` subtree once per union child
+    # (measured: the sym stage was 2x the work of `e` itself), while
+    # a driver loop over an already-small edge list is free. The
+    # resulting symmetric set is identical: {(s,t)} ∪ {(t,s)}.
     if force_local:
-        head = sym.collect()
+        head = e.distinct().collect()
+        seen = {(r["s"], r["t"]) for r in head}
+        seen |= {(t, s) for s, t in list(seen)}
         return _pagerank_local(
-            edges.sparkSession, [(r["s"], r["t"]) for r in head],
-            n_iter, damping, node_type=sym.schema["s"].dataType)
+            edges.sparkSession, sorted(seen),
+            n_iter, damping, node_type=e.schema["s"].dataType)
+    sym = e.unionByName(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).distinct()
     # Materialize the symmetrized edge set ONCE before anything reads
     # it: the size probe, the degree agg and the adjacency build all
     # hang off sym, and without this the local-mode probe pays the

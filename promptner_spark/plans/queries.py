@@ -99,7 +99,13 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    """embeddings with splits-starvation repair (dedup._spread): the
+    small local parquet yields 1-2 scan splits, so the hyperplane/
+    centroid/cosine expression work downstream of it ran on 2 of 32
+    cores (r6 stage audit: the whole q_embdup_lsh body on 2 tasks).
+    No-op at real corpus sizes."""
+    from ..operators.dedup import _spread
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _emb_dim(sf_dir: str) -> int:
