@@ -277,6 +277,15 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
     # the boundary the multi-stage fuzzy chain above would re-run per
     # consumer, each re-run a string of tiny serial stages that dilute
     # scaling (Amdahl) at high parallelism.
+    # coalesce BEFORE persisting: the three-way union otherwise caches
+    # the SUM of its children's shuffle partitions (3 x
+    # shuffle.partitions — 192 near-empty partitions here), and every
+    # downstream scan of the cache launches that many tasks (r6 stage
+    # audit: three 192-task stages of pure task-launch overhead per
+    # flagship run). coalesce is narrow (no exchange); the dictionary
+    # is vocabulary-sized, so defaultParallelism partitions is the
+    # right ceiling at any scale.
+    out = out.coalesce(out.sparkSession.sparkContext.defaultParallelism)
     out = out.persist()
     out.count()
     out._promptner_caches = (vocab, out)  # type: ignore[attr-defined]
