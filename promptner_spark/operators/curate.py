@@ -110,17 +110,16 @@ def curate_flags(
     # production run checkpoints to parquet anyway (guide §5).
     flagged = flagged.localCheckpoint(eager=True)
     # The keepers slice feeds the LSH subplan FOUR ways (two band
-    # self-join sides, two jaccard-verify text lookups). Cut it over
-    # to an eager localCheckpoint (guide §5: the cheap lineage cut):
-    # the four consumers then scan one materialized row set — measured
-    # r6: the same drops subplan fed straight off the InMemoryTableScan
-    # ran the md5-signature build once PER SIDE and an order of
-    # magnitude slower per row (120 s vs 14 s on the isolated subplan);
-    # off the checkpoint the signature exchange is computed once and
-    # codegen runs at parquet-scan speed. Blocks are executor-local and
-    # reclaimed by the ContextCleaner when the query's frames drop.
-    keepers = flagged.where(F.col("is_keeper")).select("doc_id", "text") \
-        .localCheckpoint(eager=True)
+    # self-join sides, two jaccard-verify text lookups). Off the
+    # checkpointed flags frame those four consumers are identical
+    # subtrees over one LogicalRDD, so exchange reuse computes the
+    # signature pipeline once — measured r6: the same drops subplan
+    # fed off a persisted (InMemoryTableScan) boundary instead ran the
+    # md5-signature build once PER SIDE and an order of magnitude
+    # slower per row (120 s vs 14 s on the isolated subplan); a
+    # second checkpoint of the slice itself is an extra action that
+    # measured strictly slower.
+    keepers = flagged.where(F.col("is_keeper")).select("doc_id", "text")
     pairs = minhash_dedup_pairs(
         keepers, min_jaccard=min_jaccard, n_hashes=n_hashes,
         band_size=band_size, shingle_k=shingle_k)

@@ -328,7 +328,11 @@ def inrow_pairs(ents: str) -> F.Column:
     """sorted array column → array<struct<subj, obj>> of all (i < j)
     pairs, generated in-row (the emit_triples trick,
     operators/triples.py:120): no self-join, fanout bounded by the
-    array length the caller already capped."""
+    array length the caller already capped.
+
+    NB: higher-order functions are CodegenFallback (interpreted per
+    row); hot paths use :func:`explode_pairs` — the same pair set via
+    two chained Generates, which whole-stage codegen compiles."""
     col = F.col(ents)
     n = F.size(col)
     return F.flatten(F.transform(
@@ -340,6 +344,28 @@ def inrow_pairs(ents: str) -> F.Column:
                 b.alias("obj"))))(i),
         ),
     ))
+
+
+def explode_pairs(df: DataFrame, ents_col: str = "ents",
+                  subj: str = "subj", obj: str = "obj",
+                  carry: tuple[str, ...] = ()) -> DataFrame:
+    """All (i < j) pairs of a sorted-distinct array column, one output
+    row per pair — the SAME pair set ``explode(inrow_pairs(...))``
+    yields, but emitted by two chained ``explode``s (posexplode +
+    explode over a slice = GenerateExec, whole-stage codegen) instead
+    of the nested transform/flatten expression, which is
+    CodegenFallback and evaluated interpreted per row (r6: the
+    interpreted form was the dominant CPU of the pair-emitting graph
+    queries; same rewrite operators/triples.py::_emit_triples_keyed
+    documents). ``carry`` threads extra columns onto every pair row."""
+    n = F.size(F.col(ents_col))
+    s1 = df.where(n >= 2).select(
+        *[F.col(c) for c in carry], F.col(ents_col).alias("__ents"),
+        F.posexplode(F.col(ents_col)).alias("__i", subj))
+    return s1.select(
+        *[F.col(c) for c in carry], F.col(subj),
+        F.explode(F.slice(F.col("__ents"), F.col("__i") + 2,
+                          F.size(F.col("__ents")))).alias(obj))
 
 
 def pmi_edges_from_docsets(doc_sets: DataFrame, min_docs: int = 2,
@@ -377,10 +403,8 @@ def pmi_edges_from_docsets(doc_sets: DataFrame, min_docs: int = 2,
     marg = flat.groupBy("entity_name").agg(
         F.count(F.lit(1)).alias("c_single"))
     pairs = (
-        ents.where(F.size("ents") >= 2)
-        .select(F.explode(inrow_pairs("ents")).alias("p"))
-        .groupBy(F.col("p.subj").alias("subj"),
-                 F.col("p.obj").alias("obj"))
+        explode_pairs(ents, "ents", "subj", "obj")
+        .groupBy("subj", "obj")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
@@ -481,9 +505,8 @@ def cocitation_counts(edges: DataFrame, min_count: int = 2,
         sets = sets.select(
             "s", F.slice("dsts", 1, max_links_per_src).alias("dsts"))
     return (
-        sets.where(F.size("dsts") >= 2)
-        .select(F.explode(inrow_pairs("dsts")).alias("p"))
-        .groupBy(F.col("p.subj").alias("a"), F.col("p.obj").alias("b"))
+        explode_pairs(sets, "dsts", "a", "b")
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_cocited"))
         .where(F.col("n_cocited") >= min_count)
     )

@@ -143,26 +143,25 @@ def emit_triples(canonical: DataFrame,
     string plan runs — the DuckDB-oracle-replayable form."""
     if name_dict is not None and "eid" in canonical.columns:
         return _emit_triples_keyed(canonical, name_dict)
+    from .graph_analytics import explode_pairs
     sets = canonical.groupBy("url", "sent_id").agg(
         F.sort_array(F.collect_set("entity_name")).alias("ents"))
-    n = F.size("ents")
-    pairs = F.flatten(F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.transform(
-            F.slice(F.col("ents"), i + 1, n - i),
-            (lambda ii: (lambda b: F.struct(
-                F.element_at(F.col("ents"), ii).alias("subj"),
-                b.alias("obj"))))(i),
-        ),
-    ))
+    # pair emission via two chained Generates (explode_pairs) rather
+    # than the nested transform/flatten expression: identical pair
+    # set, but GenerateExec is whole-stage-codegen'd while
+    # higher-order functions are CodegenFallback — interpreted per
+    # row, and this was the KG reduce stage's CPU hog (r6; same
+    # rationale as _emit_triples_keyed's docstring).
     return (
-        sets.where(n >= 2)
-        .select("url", F.col("sent_id").cast("int").alias("sent_id"),
-                F.explode(pairs).alias("p"))
+        explode_pairs(
+            sets.select("url",
+                        F.col("sent_id").cast("int").alias("sent_id"),
+                        "ents"),
+            "ents", "subj", "obj", carry=("url", "sent_id"))
         .select(
-            F.col("p.subj").alias("subj"),
+            "subj",
             F.lit(PRED_COOCCUR).alias("pred"),
-            F.col("p.obj").alias("obj"),
+            "obj",
             "url", "sent_id",
         )
     )

@@ -2437,12 +2437,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is ≤ v(v-1) rows, known before any job — not silently by
     library default (r3 advisor note)."""
     from ..operators.gazetteer import ALIAS_ROWS
-    from ..operators.graph_analytics import inrow_pairs, pagerank
+    from ..operators.graph_analytics import explode_pairs, pagerank
     grouped, _, _ = _doc_entity_sets(spark, sf_dir)
-    edges = (grouped.where(F.size("ents") >= 2)
-             .select(F.explode(inrow_pairs("ents")).alias("p"))
-             .select(F.col("p.subj").alias("src"),
-                     F.col("p.obj").alias("dst")))
+    edges = explode_pairs(grouped, "ents", "src", "dst")
     v = len({row[2] for row in ALIAS_ROWS})
     return pagerank(edges, n_iter=4, damping=0.85,
                     force_local=v * (v - 1) <= 100_000,
