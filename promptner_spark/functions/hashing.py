@@ -17,6 +17,8 @@ stage with no shuffle.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, functions as F
 
 HASH_HEX_DIGITS = 15  # 60 bits
@@ -51,6 +53,23 @@ def duckdb_portable_hash_half(expr: str, seed: int, half: int) -> str:
     """DuckDB mirror of :func:`portable_hash_half`."""
     return (f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), "
             f"{1 + half * HASH_HEX_DIGITS}, {HASH_HEX_DIGITS})) AS BIGINT)")
+
+
+@lru_cache(maxsize=None)
+def phh_cols(col_name: str, n_hashes: int) -> tuple[Column, ...]:
+    """The ``n_hashes`` half-digest permutation columns of a NAMED
+    column, aliased h0..h{n-1} — memoized (immutable expression trees;
+    ~95 ms of py4j construction per call otherwise, paid per plan
+    rebuild — see functions/textstats.py memo note)."""
+    return tuple(
+        portable_hash_half(F.col(col_name), i // 2, i % 2).alias(f"h{i}")
+        for i in range(n_hashes))
+
+
+@lru_cache(maxsize=None)
+def token_shingles_named(col_name: str, k: int = 3) -> Column:
+    """Memoized :func:`token_shingles` over a named column."""
+    return token_shingles(F.col(col_name), k)
 
 
 # ------------------------------------------------------------- shingles

@@ -35,6 +35,8 @@ multilingual fixtures are where its discrimination is asserted.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, functions as F
 
 # (language, ((trigram, weight), ...)) — order IS the tie-break.
@@ -128,6 +130,16 @@ def lang_pred(scores: dict[str, Column], n_norm: Column,
         >= F.greatest(F.length(text), F.lit(1)) * F.lit(HAN_NUM),
         F.lit("zh")
     ).otherwise(latin)
+
+
+@lru_cache(maxsize=None)
+def lang_pred_named(n_norm: str = "n_norm", text: str = "text") -> Column:
+    """Memoized :func:`lang_pred` over the conventional projected
+    columns (``s_<lang>`` scores, ``n_norm``, raw ``text``) — the
+    decision-rule fold costs ~30 ms of py4j round trips to build, and
+    every bench run rebuilds its plans (see textstats memo note)."""
+    return lang_pred({lang: F.col(f"s_{lang}") for lang in LANGS},
+                     F.col(n_norm), F.col(text))
 
 
 def lang_id_trigram(text: Column) -> Column:

@@ -7,6 +7,8 @@ Each has an exact DuckDB-SQL mirror used by the driver oracle.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, functions as F
 
 from .hashing import portable_hash
@@ -169,9 +171,39 @@ def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     return best / F.size(g).cast("double")
 
 
+# ------------------------------------------------------ memoized forms
+# Column objects are immutable expression trees, so a builder keyed by
+# the input COLUMN NAME can construct its expression once per process
+# and hand the same object to every plan. Building these through py4j
+# costs real driver wall time per call (quality_score ~60 ms, the
+# repetition trio ~75 ms — r6 measurement), and the bench/driver
+# rebuilds every query plan per run, so the memo removes a per-run
+# fixed cost without touching semantics: the cached Column IS the
+# expression the un-memoized call would have returned.
+
+@lru_cache(maxsize=None)
+def quality_score_named(name: str = "text") -> Column:
+    """Memoized :func:`quality_score` over a named column."""
+    return quality_score(F.col(name))
+
+
+@lru_cache(maxsize=None)
+def dup_ngram_fraction_named(name: str, n: int) -> Column:
+    """Memoized :func:`dup_ngram_fraction` over a named column."""
+    return dup_ngram_fraction(F.col(name), n)
+
+
+@lru_cache(maxsize=None)
+def top_ngram_fraction_named(name: str, n: int) -> Column:
+    """Memoized :func:`top_ngram_fraction` over a named column."""
+    return top_ngram_fraction(F.col(name), n)
+
+
 __all__ = [
     "token_count", "bpe_ish_token_count", "avg_token_len",
     "stopword_ratio", "punct_ratio", "quality_score", "lang_id",
     "fingerprint", "token_ngrams", "dup_ngram_fraction",
     "top_ngram_fraction", "STOP_SUBSET", "ENGLISH_STOPWORDS",
+    "quality_score_named", "dup_ngram_fraction_named",
+    "top_ngram_fraction_named",
 ]

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import langid as L
-from ..functions.textstats import quality_score
+from ..functions.textstats import quality_score_named
 from .dedup import minhash_dedup_pairs
 
 
@@ -55,6 +55,7 @@ def curate_flags(
     n_hashes: int = 16,
     band_size: int = 4,
     shingle_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document curation decisions over (doc_id, lang, text):
     (doc_id, lang, text, pass_gate, is_keeper, is_kept).
@@ -66,6 +67,10 @@ def curate_flags(
                      its exact-content (md5) group among gate-passing
                      docs.
     ``is_kept``    — keeper with no verified lower-id near-dup.
+
+    ``materialize=False`` returns the pure DAG (no eager checkpoint)
+    for plan inspection only — executing it pays the multi-consumer
+    recompute race the checkpoint exists to prevent.
     """
     nrm = docs.select(
         "doc_id", "lang", "text", L._norm(F.col("text")).alias("norm"))
@@ -75,12 +80,10 @@ def curate_flags(
         *[F.expr(L.spark_lang_score_expr("norm", lang)).alias(f"s_{lang}")
           for lang in L.LANGS],
     )
-    pred = L.lang_pred(
-        {lang: F.col(f"s_{lang}") for lang in L.LANGS},
-        F.col("n_norm"), F.col("text"))
+    pred = L.lang_pred_named("n_norm", "text")
     gated = s.select(
         "doc_id", "lang", "text",
-        ((quality_score(F.col("text")) >= F.lit(quality_min))
+        ((quality_score_named("text") >= F.lit(quality_min))
          & (pred != F.lit("und"))).alias("pass_gate"),
     )
     # Exact-dedup keeper: ONE window exchange on md5(text). The min
@@ -108,7 +111,8 @@ def curate_flags(
     # blocks are reclaimed by the ContextCleaner when the query's
     # frames drop. At corpus scale this is the stage boundary a
     # production run checkpoints to parquet anyway (guide §5).
-    flagged = flagged.localCheckpoint(eager=True)
+    if materialize:
+        flagged = flagged.localCheckpoint(eager=True)
     # The keepers slice feeds the LSH subplan FOUR ways (two band
     # self-join sides, two jaccard-verify text lookups). Off the
     # checkpointed flags frame those four consumers are identical

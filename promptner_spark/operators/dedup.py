@@ -19,6 +19,8 @@ cluster sizes — north_rule determinism).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import hamming64, jaccard, token_shingles
@@ -82,17 +84,17 @@ def minhash_signatures(
     Output: (id, h0..h{n-1}). This beats the expression form
     (array_min × n over a transform) which re-evaluates the shingle
     array per permutation — measured ~20× slower at corpus scale."""
-    from ..functions.hashing import portable_hash_half as phh
+    from ..functions.hashing import phh_cols, token_shingles_named
     sh = _spread(docs.select(F.col(id_col).alias("id"),
                              F.col(text_col).alias("t"))).select(
         "id",
-        F.explode(token_shingles(F.col("t"), shingle_k)).alias("s"),
+        F.explode(token_shingles_named("t", shingle_k)).alias("s"),
     )
     # two permutations per md5 digest (hex halves) — half the digest
-    # bill; codegen CSE shares each md5 between its two halves
-    hashed = sh.select(
-        "id", *[phh(F.col("s"), i // 2, i % 2).alias(f"h{i}")
-                for i in range(n_hashes)])
+    # bill; codegen CSE shares each md5 between its two halves.
+    # phh_cols/token_shingles_named are memoized builders (immutable
+    # expression trees; see functions/textstats.py memo note).
+    hashed = sh.select("id", *phh_cols("s", n_hashes))
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
 
@@ -150,10 +152,11 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Candidates verified by exact shingle Jaccard ≥ threshold."""
+    from ..functions.hashing import token_shingles_named
     cand = minhash_candidate_pairs(docs, text_col, id_col,
                                    n_hashes, band_size, shingle_k)
-    j = jaccard(token_shingles(F.col("text_a"), shingle_k),
-                token_shingles(F.col("text_b"), shingle_k))
+    j = jaccard(token_shingles_named("text_a", shingle_k),
+                token_shingles_named("text_b", shingle_k))
     return (
         cand.withColumn("jaccard", j)
         .where(F.col("jaccard") >= min_jaccard)
@@ -169,23 +172,41 @@ def simhash_table(docs: DataFrame, text_col: str = "text",
     Scalable formulation mirroring minhash_signatures: explode →
     single hash per shingle → groupBy(doc) with ``bits`` conditional
     sums (all map-side combinable) → fold bit votes into a LONG."""
-    from ..functions.hashing import portable_hash as ph
+    from ..functions.hashing import token_shingles_named
     sh = _spread(docs.select(F.col(id_col).alias("doc_id"),
                              F.col(text_col).alias("t"))).select(
         "doc_id",
-        F.explode(token_shingles(F.col("t"), shingle_k)).alias("s"),
+        F.explode(token_shingles_named("t", shingle_k)).alias("s"),
     )
-    hashed = sh.select("doc_id", ph(F.col("s"), 0).alias("h"))
+    hashed = sh.select("doc_id", _simhash_hash_col())
     agg = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
-          .alias(f"b{b}") for b in range(bits)],
-    )
+        F.count(F.lit(1)).alias("n"), *_simhash_bit_sums(bits))
+    return agg.select("doc_id", _simhash_fold(bits).alias("simhash"))
+
+
+# memoized expression builders (immutable Column trees rebuilt per
+# plan otherwise — see functions/textstats.py memo note; the 32-bit
+# vote/fold pair alone is ~130 ms of py4j construction per call)
+@lru_cache(maxsize=None)
+def _simhash_hash_col():
+    from ..functions.hashing import portable_hash as ph
+    return ph(F.col("s"), 0).alias("h")
+
+
+@lru_cache(maxsize=None)
+def _simhash_bit_sums(bits: int) -> tuple:
+    return tuple(
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+        .alias(f"b{b}") for b in range(bits))
+
+
+@lru_cache(maxsize=None)
+def _simhash_fold(bits: int):
     acc = F.lit(0).cast("long")
     for b in range(bits):
         acc = acc + F.when(F.col(f"b{b}") * 2 >= F.col("n"),
                            F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return agg.select("doc_id", acc.alias("simhash"))
+    return acc
 
 
 def simhash_block_specs(bits: int, max_hamming: int) -> list[tuple[int, int]]:

@@ -40,6 +40,8 @@ the hash gate proves the explode/join/reassemble decomposition exact.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.hashing import portable_hash
@@ -53,15 +55,37 @@ def _line_key(line: Column) -> Column:
     return portable_lower(F.trim(line))
 
 
+# memoized expression builders — immutable Column trees whose py4j
+# construction (~200 ms for this module's census + reassembly set)
+# was otherwise paid per plan rebuild (functions/textstats memo note)
+@lru_cache(maxsize=None)
+def _census_keys(text_col: str) -> Column:
+    return F.array_distinct(F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), _line_key),
+        lambda k: k != ""))
+
+
+@lru_cache(maxsize=None)
+def _reassembly_cols(text_col: str) -> tuple:
+    ordered = F.array_sort(
+        F.collect_list(F.struct("pos", "line", "drop")))
+    return (
+        F.concat_ws("\n", F.transform(
+            F.filter(ordered, lambda x: ~x["drop"]),
+            lambda x: x["line"])).alias(text_col),
+        F.sum(F.when(~F.col("drop"), 1).otherwise(0))
+        .cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("drop"), 1).otherwise(0))
+        .cast("long").alias("n_dropped"),
+    )
+
+
 def line_counts(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(line_h, n_docs): distinct-document frequency of every
     non-blank normalized line — the boilerplate census."""
-    keys = F.array_distinct(F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), _line_key),
-        lambda k: k != ""))
     return (
-        docs.select(F.explode(keys).alias("k"))
+        docs.select(F.explode(_census_keys(text_col)).alias("k"))
         .select(portable_hash(F.col("k"), LINE_SEED).alias("line_h"))
         .groupBy("line_h")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -96,19 +120,9 @@ def strip_common_lines(docs: DataFrame, min_docs: int = 2,
                 ((F.col("_k") != "") &
                  F.col("line_h").isNotNull()).alias("drop"))
     )
-    ordered = F.array_sort(
-        F.collect_list(F.struct("pos", "line", "drop")))
     return (
         flagged.groupBy(id_col, *carry)
-        .agg(
-            F.concat_ws("\n", F.transform(
-                F.filter(ordered, lambda x: ~x["drop"]),
-                lambda x: x["line"])).alias(text_col),
-            F.sum(F.when(~F.col("drop"), 1).otherwise(0))
-            .cast("long").alias("n_kept"),
-            F.sum(F.when(F.col("drop"), 1).otherwise(0))
-            .cast("long").alias("n_dropped"),
-        )
+        .agg(*_reassembly_cols(text_col))
     )
 
 

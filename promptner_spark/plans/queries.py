@@ -20,6 +20,8 @@ near-copies (doc_id%5==0 → +2M id) — identically in both engines.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import textstats as TS
@@ -351,16 +353,23 @@ FROM m"""
 
 
 # ------------------------------------------------------------- text analysis
-def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_spread(spark, sf_dir)
+@functools.lru_cache(maxsize=None)
+def _textstats_cols() -> tuple:
+    """q_textstats' per-doc signal columns, memoized (immutable
+    expression trees; ~150 ms of py4j build per call otherwise —
+    see functions/textstats.py memo note)."""
     t = F.col("text")
-    return d.select(
-        "lang",
+    return (
         TS.token_count(t).alias("ntok"),
         TS.bpe_ish_token_count(t).alias("nbpe"),
         (TS.quality_score(t) >= 0.7).cast("int").alias("hi_q"),
         (TS.lang_id(t) == "en").cast("int").alias("is_en"),
-    ).groupBy("lang").agg(
+    )
+
+
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_spread(spark, sf_dir)
+    return d.select("lang", *_textstats_cols()).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ntok").cast("long").alias("sum_tokens"),
         F.sum("nbpe").cast("long").alias("sum_bpe_tokens"),
@@ -378,12 +387,19 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle the closed form implies; the DuckDB oracle computes that
     explode+group closed form and must agree exactly."""
     d = _docs_spread(spark, sf_dir)
+    return d.select(*_repetition_cols())
+
+
+@functools.lru_cache(maxsize=None)
+def _repetition_cols() -> tuple:
+    """q_repetition's output columns, memoized (immutable expression
+    trees; ~75 ms of py4j build per call otherwise)."""
     t = F.col("text")
 
     def scaled(c):
         return F.round(c * 1_000_000).cast("long")
 
-    return d.select(
+    return (
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(TS.token_ngrams(t, 2)).cast("long").alias("n_2grams"),
         scaled(TS.dup_ngram_fraction(t, 2)).alias("dup2_scaled"),
@@ -421,8 +437,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = s.select(
         "label",
-        L.lang_pred({lang: F.col(f"s_{lang}") for lang in L.LANGS},
-                    F.col("n_norm"), F.col("text")).alias("pred"),
+        L.lang_pred_named("n_norm", "text").alias("pred"),
         *[f"s_{lang}" for lang in L.LANGS],
     )
     return scored.groupBy("label", "pred").agg(
@@ -539,7 +554,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_spread(spark, sf_dir)
     return (
         d.where((F.col("lang") == "en")
-                & (TS.quality_score(F.col("text")) >= 0.6))
+                & (TS.quality_score_named("text") >= 0.6))
         .groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("sum_chars"))
@@ -961,7 +976,10 @@ FROM packed GROUP BY shard_id"""
 # both engines, so the scrub regexes are exercised on real matches.
 
 
+@functools.lru_cache(maxsize=None)
 def _dirty_text() -> F.Column:
+    # memoized: immutable expression tree, ~65 ms of py4j build per
+    # call otherwise (see functions/textstats.py memo note)
     d = F.col("doc_id")
     return F.concat(
         F.col("text"),
@@ -1029,9 +1047,11 @@ FROM dirty"""
 _LINE_MIN_DOCS = 3
 
 
+@functools.lru_cache(maxsize=None)
 def _multiline_expr() -> F.Column:
     """The multi-line restructuring of the single-line ``text``
-    column: constant boilerplate around the doc's two token halves."""
+    column: constant boilerplate around the doc's two token halves.
+    Memoized — immutable expression tree (textstats memo note)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     k = F.floor(n / F.lit(2)).cast("int")

@@ -86,14 +86,26 @@ def test_exact_keeper_ignores_gate_failing_low_id(spark):
 def test_curate_plan_shape(spark, sf_dir):
     """Scale contract: no Python in the plan (signals are codegen),
     no cartesian product (near-dup candidates come from the bucketed
-    band equi-join), exactly one window (the md5 keeper)."""
+    band equi-join), exactly one window (the md5 keeper). r6: the
+    shipped operator checkpoints the flags boundary, so the window
+    lives inside the materialized subplan — its presence is asserted
+    on the pure-DAG form (materialize=False), the runtime shape on
+    the executed query."""
+    from promptner_spark.operators.curate import curate_flags
     from promptner_spark.plans.queries import q_curate
 
     plan = q_curate(spark, sf_dir)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
-    assert plan.count("Window") >= 1
+    dag = curate_flags(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text"),
+        materialize=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert dag.count("Window") >= 1
+    assert "CartesianProduct" not in dag
+    assert "BatchEvalPython" not in dag and "ArrowEval" not in dag
     # the only broadcast-free equi-joins are the band self-join and
     # the drop anti-side; both are hash joins on explicit keys
     assert "BroadcastNestedLoopJoin" not in plan
