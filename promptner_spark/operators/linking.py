@@ -229,30 +229,33 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
     entity_name, entity_key, eid) — the last three precomputed
     vocabulary-side by :func:`_enrich_resolution`.
 
-    The persisted vocabulary and resolution handles are attached to
-    the returned DataFrame (``_promptner_caches``); callers release
-    them with :func:`release_caches` once the resolution has been
-    materialized.
+    Both internal boundaries are eager localCheckpoints (reclaimed by
+    the ContextCleaner when the query's frames drop), so
+    ``_promptner_caches`` on the returned DataFrame is empty — kept
+    for caller-protocol compatibility (:func:`release_caches`).
     """
-    # Persisted: (a) the vocabulary is read by the exact, fuzzy and NIL
-    # branches — one distinct pass over the mention stream instead of
-    # three; (b) the InMemoryRelation is a predicate-pushdown barrier —
-    # without it Catalyst pushes the fuzzy join's isnotnull(band_hash)
-    # condition through the posexplode and BELOW this aggregate,
-    # re-evaluating the whole MinHash-band expression on every raw
-    # mention row (observed: ~1000× the intended hash work).
+    # Materialized eagerly (one vocabulary-sized job): (a) the
+    # vocabulary is read by the exact, fuzzy and NIL branches — one
+    # distinct pass over the mention stream instead of three; (b) the
+    # boundary is a predicate-pushdown barrier — without it Catalyst
+    # pushes the fuzzy join's isnotnull(band_hash) condition through
+    # the posexplode and BELOW this aggregate, re-evaluating the whole
+    # MinHash-band expression on every raw mention row (observed:
+    # ~1000× the intended hash work). r6: localCheckpoint instead of
+    # persist+count — same one-pass fill, but the AQE broadcast-build
+    # jobs hanging off it scan a LogicalRDD instead of resolving the
+    # full extraction lineage against the cache manager (the r6 stage
+    # audit caught broadcast-side jobs re-running the scan→UDF chain
+    # off the persisted form), and downstream actions re-analyze a
+    # tiny plan. Blocks are ContextCleaner-reclaimed.
     vocab = mentions.select(
-        norm_surface(F.col("surface")).alias("m_norm")).distinct().persist()
-    # Eager fill (one vocabulary-sized job): the cache feeds the exact,
-    # fuzzy and NIL branches, which Spark schedules as CONCURRENT
-    # stages — a lazy cache lets each of them recompute the distinct
-    # pass (and everything upstream of it) before any has filled it.
-    vocab.count()
+        norm_surface(F.col("surface")).alias("m_norm")).distinct() \
+        .localCheckpoint(eager=True)
     exact = vocab.join(F.broadcast(aliases),
                        vocab["m_norm"] == aliases["alias_norm"], "left")
     if not fuzzy:
         exact = _enrich_resolution(exact)
-        exact._promptner_caches = (vocab,)  # type: ignore[attr-defined]
+        exact._promptner_caches = ()  # type: ignore[attr-defined]
         return exact
     hit = exact.where(F.col("entity_id").isNotNull())
     miss = exact.where(F.col("entity_id").isNull()).select("m_norm")
@@ -286,9 +289,8 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
     # is vocabulary-sized, so defaultParallelism partitions is the
     # right ceiling at any scale.
     out = out.coalesce(out.sparkSession.sparkContext.defaultParallelism)
-    out = out.persist()
-    out.count()
-    out._promptner_caches = (vocab, out)  # type: ignore[attr-defined]
+    out = out.localCheckpoint(eager=True)
+    out._promptner_caches = ()  # type: ignore[attr-defined]
     return out
 
 

@@ -68,8 +68,11 @@ def test_fuzzy_bands_stay_above_vocab_aggregate(spark, sf_dir, portable):
     res = linking.build_resolution(m, linking.alias_df(spark), fuzzy=True,
                                    portable_fuzzy=portable)
     optimized = res._jdf.queryExecution().optimizedPlan().toString()
-    # the vocab cache boundary exists
-    assert "InMemoryRelation" in optimized
+    # the vocabulary/materialization boundary exists: a persisted
+    # relation (InMemoryRelation) or, since r6, the eager
+    # localCheckpoint's LogicalRDD — both are absolute pushdown
+    # barriers (nothing can be pushed below materialized rows)
+    assert ("InMemoryRelation" in optimized) or ("LogicalRDD" in optimized)
     band_marker = "md5" if portable else "xxhash64"
     for line in optimized.splitlines():
         if band_marker in line:
