@@ -71,15 +71,19 @@ def _defer_release(*dfs: DataFrame) -> None:
 
 
 def _managed_persist(df: DataFrame) -> DataFrame:
-    """persist + EAGER fill + deferred release. The eager count() is
-    load-bearing, not warm-up: these caches feed several concurrent
-    downstream stages, and a lazy cache lets each stage recompute the
-    whole upstream (inference-UDF) chain before any has filled it —
-    measured 7 s ↔ 69 s oscillation on the pipeline query."""
-    df = df.persist()
-    df.count()
-    _defer_release(df)
-    return df
+    """EAGER materialization boundary (r6: localCheckpoint). The eager
+    fill is load-bearing, not warm-up: these boundaries feed several
+    concurrent downstream stages, and a lazy cache lets each stage
+    recompute the whole upstream (inference-UDF) chain before any has
+    filled it — measured 7 s ↔ 69 s oscillation on the pipeline
+    query. The checkpoint (vs the r5 persist+count) additionally makes
+    AQE broadcast-build jobs and every downstream action scan a
+    LogicalRDD instead of resolving the full lineage against the
+    cache manager — the r6 stage audit caught broadcast-side jobs
+    recomputing the inference chain off persisted boundaries (see
+    operators/linking.py). Blocks are ContextCleaner-reclaimed, so
+    there is nothing to defer-release."""
+    return df.localCheckpoint(eager=True)
 
 # span-F1 perturbed predictor: two misses (FN) + one type flip (FP+FN)
 PRED_GAZ = {s: ("STRUCT" if s == "window" else t)
@@ -2437,10 +2441,9 @@ def _doc_entity_sets(spark: SparkSession, sf_dir: str
                .groupBy("url")
                .agg(F.sort_array(F.collect_set("canonical_name"))
                     .alias("ents"))
-               .persist())
+               .localCheckpoint(eager=True))
     row = grouped.agg(F.count(F.lit(1)).alias("n_urls"),
                       F.max(F.size("ents")).alias("max_c")).collect()[0]
-    _defer_release(grouped)
     n_urls = int(row["n_urls"] or 0)
     max_c = int(row["max_c"] or 0)
     return grouped, n_urls, max_c
