@@ -249,26 +249,31 @@ def predicate_triples(
         ).alias("ms"))
     toks = F.split(F.col("text"), " ")
     n = F.size("ms")
-    adj = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(F.element_at(F.col("ms"), i).alias("a"),
-                               F.element_at(F.col("ms"), i + 1).alias("b")),
-        ),
-        lambda p: (p["b"]["begin"] - p["a"]["end"] >= 1)
-        & (p["b"]["begin"] - p["a"]["end"] <= max_gap),
-    )
-    out = (
+    # adjacent pairs via ONE Generate (posexplode of the first n-1
+    # mentions) + element_at for the successor, instead of the
+    # filter(transform(...)) expression — higher-order functions are
+    # CodegenFallback (interpreted per row) while GenerateExec and
+    # element_at are whole-stage-codegen'd (r6; same rewrite as the
+    # pair emission in emit_triples/graph_analytics.explode_pairs).
+    # Same pair set: a = ms[i], b = ms[i+1], gap-gated.
+    exploded = (
         ents.where(n >= 2)
         .select("url", F.col("sent_id").cast("int").alias("sent_id"),
-                toks.alias("toks"), F.explode(adj).alias("p"))
+                toks.alias("toks"), "ms",
+                F.posexplode(F.slice(F.col("ms"), 1, n - 1))
+                .alias("__i", "a"))
+        .withColumn("b", F.element_at(F.col("ms"), F.col("__i") + 2))
+    )
+    gap = F.col("b.begin") - F.col("a.end")
+    out = (
+        exploded.where((gap >= 1) & (gap <= max_gap))
         .select(
-            F.col("p.a.name").alias("subj"),
+            F.col("a.name").alias("subj"),
             F.array_join(
-                F.slice(F.col("toks"), F.col("p.a.end") + 1,
-                        F.col("p.b.begin") - F.col("p.a.end")),
+                F.slice(F.col("toks"), F.col("a.end") + 1,
+                        F.col("b.begin") - F.col("a.end")),
                 "_").alias("pred"),
-            F.col("p.b.name").alias("obj"),
+            F.col("b.name").alias("obj"),
             "url", "sent_id",
         )
     )

@@ -74,7 +74,8 @@ def build_session(
         # overhead at 64 KB is microseconds against the saved serial
         # work. Scale-adaptive by construction — nothing here is tuned
         # to this box's core count.
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
