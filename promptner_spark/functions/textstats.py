@@ -55,39 +55,68 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     """Whitespace token count (the reference's tokenization convention,
-    `data.py:55-58`)."""
-    return F.size(tokens(text))
+    `data.py:55-58`).
+
+    Computed arithmetically — ``len(text) - len(text without spaces)
+    + 1`` — instead of ``size(split(...))``: split on a single space
+    yields exactly (number of space chars + 1) fields (consecutive
+    spaces produce empty fields), so the counts are identical for
+    every input while the array of token strings is never built
+    (guide §4.1: prefer flat built-ins; the r6 profile showed the
+    token-array builders dominating the text-analytics stages)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(" ")))
+            + F.lit(1))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-approximate token count: word-chunks + digits + punctuation
     as separate tokens (regexp-based; deterministic; whitespace class
-    spelled out for RE2 parity — see PORTABLE_WS)."""
-    return F.size(F.regexp_extract_all(
+    spelled out for RE2 parity — see PORTABLE_WS). ``regexp_count``
+    rather than ``size(regexp_extract_all(...))``: same non-overlapping
+    Matcher.find scan, without materializing every match string (r6)."""
+    return F.regexp_count(
         text,
-        F.lit(r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9" + PORTABLE_WS + "]"), 0))
+        F.lit(r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9" + PORTABLE_WS + "]"))
 
 
 def avg_token_len(text: Column) -> Column:
+    """Mean token length. The token-length sum is exact arithmetic:
+    every space is one separator, so Σ len(token) = len(text) − (n−1)
+    — same integer the r5 interpreted fold produced, no token array,
+    no higher-order function (r6; guide §4.1)."""
     n = token_count(text)
-    total = F.aggregate(tokens(text), F.lit(0),
-                        lambda acc, t: acc + F.length(t))
+    total = F.length(text) - (n - F.lit(1))
     return total.cast("double") / F.greatest(n, F.lit(1))
+
+
+# one pass, one pattern: a token equals a stopword iff it is delimited
+# by spaces (or the padding) on both sides — the lookarounds consume
+# nothing, so adjacent stopwords ("the the") both match. Alternatives
+# are tried left-to-right per position and the lookahead rejects
+# prefixes ("a" inside "an"), exactly reproducing the per-token set
+# membership of the r5 filter()+array_contains form.
+_STOP_PATTERN = "(?<= )(?:" + "|".join(STOP_SUBSET) + ")(?= )"
 
 
 def stopword_ratio(text: Column) -> Column:
     # portable_lower: 'İT' must not count as the stopword 'it' on one
-    # engine and not the other (full-vs-simple case mapping, r5)
-    stops = F.array(*[F.lit(s) for s in STOP_SUBSET])
-    n_stop = F.size(F.filter(
-        tokens(text),
-        lambda t: F.array_contains(stops, portable_lower(t))))
+    # engine and not the other (full-vs-simple case mapping, r5).
+    # Lowercasing the WHOLE text is token-equivalent: no lowercase
+    # mapping produces or consumes U+0020 (İ/Σ are pre-folded; the
+    # remaining full-case mappings are letter→letter), so split-then-
+    # lower == lower-then-split — pinned by the parity test. One
+    # regexp_count replaces the interpreted per-token filter + 2
+    # replaces + lower per token (r6; guide §4.1).
+    padded = F.concat(F.lit(" "), portable_lower(text), F.lit(" "))
+    n_stop = F.regexp_count(padded, F.lit(_STOP_PATTERN))
     return n_stop.cast("double") / F.greatest(token_count(text), F.lit(1))
 
 
 def punct_ratio(text: Column) -> Column:
-    stripped = F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")
-    return F.length(stripped).cast("double") / F.greatest(F.length(text), F.lit(1))
+    """Punctuation character share — regexp_count of the class rather
+    than length-of-stripped-copy (one scan, no string build; r6)."""
+    n_punct = F.regexp_count(text, F.lit(r"[!-/:-@\[-`{-~]"))
+    return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1))
 
 
 def quality_score(text: Column) -> Column:
@@ -135,6 +164,47 @@ def token_ngrams(text: Column, n: int = 2) -> Column:
     return F.when(m < n, F.array(text)).otherwise(
         F.transform(F.sequence(F.lit(1), m - (n - 1)),
                     lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def ngram_run_stats(text: Column, n: int = 2) -> Column:
+    """``struct(total, distinct, top)`` of the token n-gram multiset —
+    total occurrences, distinct n-grams, and the max multiplicity — in
+    ONE fold over ONE sorted array.
+
+    Equalities (the repetition suite's three signals from one pass):
+    distinct values of a multiset = run boundaries of its sorted
+    array; max multiplicity = longest equal-run. The r5 form built the
+    n-gram array once per signal (size, array_distinct, sorted fold —
+    higher-order functions are CodegenFallback, so nothing is shared
+    across output columns); this builds and walks it once (r6 profile:
+    q_repetition spent 21-26 s executor CPU per run on 5 000 docs,
+    almost all in the duplicated interpreted array work).
+
+    The first element is detected by ``total == 0``, not a sentinel
+    ``prev`` value — an empty-string n-gram (empty doc) must still
+    count as a new run."""
+    g = F.array_sort(token_ngrams(text, n))
+    zero = F.lit(0).cast("int")
+    one = F.lit(1).cast("int")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("best"), zero.alias("total"),
+                    zero.alias("distinct"))
+
+    def step(acc: Column, x: Column) -> Column:
+        same = (acc["total"] != zero) & (x == acc["prev"])
+        run = F.when(same, acc["run"] + one).otherwise(one)
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["total"] + one).alias("total"),
+            (acc["distinct"] + F.when(same, zero).otherwise(one))
+            .alias("distinct"))
+
+    return F.aggregate(
+        g, init, step,
+        lambda a: F.struct(a["total"].alias("total"),
+                           a["distinct"].alias("distinct"),
+                           a["best"].alias("top")))
 
 
 def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
@@ -202,7 +272,8 @@ def top_ngram_fraction_named(name: str, n: int) -> Column:
 __all__ = [
     "token_count", "bpe_ish_token_count", "avg_token_len",
     "stopword_ratio", "punct_ratio", "quality_score", "lang_id",
-    "fingerprint", "token_ngrams", "dup_ngram_fraction",
+    "fingerprint", "token_ngrams", "ngram_run_stats",
+    "dup_ngram_fraction",
     "top_ngram_fraction", "STOP_SUBSET", "ENGLISH_STOPWORDS",
     "quality_score_named", "dup_ngram_fraction_named",
     "top_ngram_fraction_named",

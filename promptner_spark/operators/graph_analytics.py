@@ -202,10 +202,12 @@ def _pagerank_local(spark, sym_edges: list[tuple], n_iter: int,
     for s, t in sym_edges:
         out_edges[s].append(t)
         deg[s] += 1
+    from ..smalldf import small_df
+
     nodes = sorted(deg)
     n = len(nodes)
     if n == 0:
-        return spark.createDataFrame([], schema)
+        return small_df(spark, [], schema)
     p_num, p_den = damping_ratio(damping)
     base = ((p_den - p_num) * PR_SCALE) // (p_den * n)
     pr = {v: PR_SCALE // n for v in nodes}
@@ -216,7 +218,8 @@ def _pagerank_local(spark, sym_edges: list[tuple], n_iter: int,
             for t in out_edges[s]:
                 acc[t] += c
         pr = {v: base + (p_num * acc[v]) // p_den for v in nodes}
-    return spark.createDataFrame(
+    return small_df(
+        spark,
         [(v, ((pr[v] + 500_000) // 1_000_000) / 1e6) for v in nodes],
         schema)
 
@@ -447,6 +450,8 @@ def hits(edges: DataFrame, n_iter: int = 4, src: str = "src",
     pagerank's node count, paid n_iter times; each half-step is
     localCheckpointed so the next join reads materialized blocks, not
     recomputed lineage."""
+    if n_iter < 1:
+        raise ValueError(f"hits() needs n_iter >= 1, got {n_iter}")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
     if checkpoint:
         e = e.localCheckpoint(eager=True)

@@ -48,11 +48,12 @@ def alias_df(spark: SparkSession, vocab_scale: int = 1) -> DataFrame:
     """The alias dictionary; ``vocab_scale > 1`` swaps in the
     vocabulary-scaled variant rows for the scaling bench
     (operators/gazetteer.py::scaled_alias_rows)."""
+    from ..smalldf import small_df
     if vocab_scale > 1:
         from .gazetteer import scaled_alias_rows
-        return spark.createDataFrame(
-            scaled_alias_rows(vocab_scale), schema=schema.ALIASES)
-    return spark.createDataFrame(ALIAS_ROWS, schema=schema.ALIASES)
+        return small_df(spark, scaled_alias_rows(vocab_scale),
+                        schema=schema.ALIASES)
+    return small_df(spark, ALIAS_ROWS, schema=schema.ALIASES)
 
 
 def link_exact(mentions: DataFrame, aliases: DataFrame) -> DataFrame:

@@ -67,9 +67,8 @@ def shard_pack(docs: DataFrame, budget: int = 1_000_000,
     for bkt, tot in rows:
         offsets.append((bkt, acc))
         acc += tot
-    off_df = base.sparkSession.createDataFrame(
-        offsets, "_bkt long, _off long") if offsets \
-        else base.sparkSession.createDataFrame([], "_bkt long, _off long")
+    from ..smalldf import small_df
+    off_df = small_df(base.sparkSession, offsets, "_bkt long, _off long")
     w = (Window.partitionBy("_bkt").orderBy("_h", "id")
          .rowsBetween(Window.unboundedPreceding, -1))
     local = base.withColumn(

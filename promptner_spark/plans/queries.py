@@ -70,6 +70,30 @@ def _defer_release(*dfs: DataFrame) -> None:
     _LIVE_CACHES.extend(dfs)
 
 
+class _CheckpointBlocks:
+    """Deferred-release handle for a localCheckpoint's persisted RDD
+    blocks. ``DataFrame.unpersist`` only talks to the CacheManager and
+    never touches a checkpoint's RDD storage, so without this the
+    blocks of every registry checkpoint would linger until the
+    ContextCleaner's next GC-driven sweep — the round-start tree's
+    cache-hygiene test (tests/test_plan_shapes.py) caught exactly that
+    regression, inherited from the r5-bonus persist→checkpoint switch.
+    Safe under the registry protocol: the driver materializes a
+    query's result BEFORE calling the next query (whose _managed
+    wrapper drains these), so the checkpointed data is never read
+    again after release."""
+
+    def __init__(self, jrdds: list):
+        self._jrdds = jrdds
+
+    def unpersist(self) -> None:
+        for jrdd in self._jrdds:
+            try:
+                jrdd.unpersist()
+            except Exception:
+                pass   # session already stopped
+
+
 def _managed_persist(df: DataFrame) -> DataFrame:
     """EAGER materialization boundary (r6: localCheckpoint). The eager
     fill is load-bearing, not warm-up: these boundaries feed several
@@ -81,9 +105,18 @@ def _managed_persist(df: DataFrame) -> DataFrame:
     LogicalRDD instead of resolving the full lineage against the
     cache manager — the r6 stage audit caught broadcast-side jobs
     recomputing the inference chain off persisted boundaries (see
-    operators/linking.py). Blocks are ContextCleaner-reclaimed, so
-    there is nothing to defer-release."""
-    return df.localCheckpoint(eager=True)
+    operators/linking.py). The checkpoint's RDD blocks are registered
+    for deferred release at the next registry call (see
+    :class:`_CheckpointBlocks`)."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = {e.getKey() for e in jsc.getPersistentRDDs().entrySet()
+              .toArray()}
+    out = df.localCheckpoint(eager=True)
+    new = [e.getValue() for e in jsc.getPersistentRDDs().entrySet()
+           .toArray() if e.getKey() not in before]
+    if new:
+        _defer_release(_CheckpointBlocks(new))
+    return out
 
 # span-F1 perturbed predictor: two misses (FN) + one type flip (FP+FN)
 PRED_GAZ = {s: ("STRUCT" if s == "window" else t)
@@ -385,30 +418,48 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per doc (duplicate
     2-/3-gram fraction, top-2-gram fraction). The Spark side is pure
-    in-row codegen — the top-gram count comes from the longest
-    equal-run of the sorted n-gram array (functions/textstats.py::
-    top_ngram_fraction), so the corpus never pays the explode+groupBy
-    shuffle the closed form implies; the DuckDB oracle computes that
-    explode+group closed form and must agree exactly."""
+    in-row work with NO shuffle — r6: each n-gram multiset is built,
+    sorted and folded ONCE (textstats.ngram_run_stats gives total/
+    distinct/max-multiplicity from a single pass; the r5 form built
+    the array once per output column, and higher-order functions are
+    CodegenFallback so nothing was shared). The two-step select keeps
+    the fold single-evaluation: CollapseProject does not inline a
+    non-cheap expression referenced by several outputs. The DuckDB
+    oracle computes the explode+groupBy closed form and must agree
+    exactly."""
     d = _docs_spread(spark, sf_dir)
-    return d.select(*_repetition_cols())
+    return d.select(*_repetition_stats_cols()) \
+            .select(*_repetition_cols())
+
+
+@functools.lru_cache(maxsize=None)
+def _repetition_stats_cols() -> tuple:
+    return (
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TS.ngram_run_stats(F.col("text"), 2).alias("s2"),
+        TS.ngram_run_stats(F.col("text"), 3).alias("s3"),
+    )
 
 
 @functools.lru_cache(maxsize=None)
 def _repetition_cols() -> tuple:
-    """q_repetition's output columns, memoized (immutable expression
-    trees; ~75 ms of py4j build per call otherwise)."""
-    t = F.col("text")
+    """q_repetition's output columns over the per-n stat structs,
+    memoized (immutable expression trees — textstats memo note)."""
+    s2, s3 = F.col("s2"), F.col("s3")
 
     def scaled(c):
         return F.round(c * 1_000_000).cast("long")
 
+    def dup(s):
+        return (s["total"] - s["distinct"]) / s["total"].cast("double")
+
     return (
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(TS.token_ngrams(t, 2)).cast("long").alias("n_2grams"),
-        scaled(TS.dup_ngram_fraction(t, 2)).alias("dup2_scaled"),
-        scaled(TS.top_ngram_fraction(t, 2)).alias("top2_scaled"),
-        scaled(TS.dup_ngram_fraction(t, 3)).alias("dup3_scaled"),
+        F.col("doc_id"),
+        s2["total"].cast("long").alias("n_2grams"),
+        scaled(dup(s2)).alias("dup2_scaled"),
+        scaled(s2["top"] / s2["total"].cast("double"))
+        .alias("top2_scaled"),
+        scaled(dup(s3)).alias("dup3_scaled"),
     )
 
 
