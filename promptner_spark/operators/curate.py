@@ -56,6 +56,7 @@ def curate_flags(
     band_size: int = 4,
     shingle_k: int = 3,
     materialize: bool = True,
+    splits_hint: int | None = None,
 ) -> DataFrame:
     """Per-document curation decisions over (doc_id, lang, text):
     (doc_id, lang, text, pass_gate, is_keeper, is_kept).
@@ -126,7 +127,8 @@ def curate_flags(
     keepers = flagged.where(F.col("is_keeper")).select("doc_id", "text")
     pairs = minhash_dedup_pairs(
         keepers, min_jaccard=min_jaccard, n_hashes=n_hashes,
-        band_size=band_size, shingle_k=shingle_k)
+        band_size=band_size, shingle_k=shingle_k,
+        splits_hint=splits_hint)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct() \
         .withColumn("is_dropped", F.lit(True))
     out = (

@@ -58,7 +58,8 @@ def gram_hashes(df: DataFrame, n: int = DEFAULT_N, text_col: str = "text",
 
 def bench_gram_set(bench: DataFrame, n: int = DEFAULT_N,
                    text_col: str = "text",
-                   id_col: str = "bench_id") -> DataFrame:
+                   id_col: str = "bench_id",
+                   splits_hint: int | None = None) -> DataFrame:
     """The benchmark's distinct gram-hash set — the (small) probe side.
 
     The bench frame is spread across cores before the gram explode:
@@ -70,20 +71,23 @@ def bench_gram_set(bench: DataFrame, n: int = DEFAULT_N,
     pre-explode shuffle of the bench rows fixes that at every scale
     (the corpus side is untouched)."""
     from .dedup import _spread
-    return gram_hashes(_spread(bench), n, text_col, id_col) \
+    return gram_hashes(_spread(bench, splits_hint=splits_hint),
+                       n, text_col, id_col) \
         .select("gram_h").distinct()
 
 
 def contamination_report(docs: DataFrame, bench: DataFrame,
                          n: int = DEFAULT_N, text_col: str = "text",
                          id_col: str = "doc_id",
-                         broadcast_bench: bool = True) -> DataFrame:
+                         broadcast_bench: bool = True,
+                         bench_splits_hint: int | None = None) -> DataFrame:
     """(doc_id, n_hits) for every contaminated document — n_hits =
     number of DISTINCT document n-grams also present in the benchmark
     set (distinct on both sides, so the count is order-free and
     engine-exact)."""
     grams = gram_hashes(docs, n, text_col, id_col)
-    bench_set = bench_gram_set(bench, n, text_col)
+    bench_set = bench_gram_set(bench, n, text_col,
+                               splits_hint=bench_splits_hint)
     probe = F.broadcast(bench_set) if broadcast_bench else bench_set
     return (
         grams.join(probe, "gram_h")
@@ -94,12 +98,14 @@ def contamination_report(docs: DataFrame, bench: DataFrame,
 
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = DEFAULT_N,
                   text_col: str = "text", id_col: str = "doc_id",
-                  broadcast_bench: bool = True) -> DataFrame:
+                  broadcast_bench: bool = True,
+                  bench_splits_hint: int | None = None) -> DataFrame:
     """The clean corpus: documents sharing NO verbatim n-gram with the
     benchmark. The contaminated-id set is at most |matching docs|
     (small), so the anti-join back is broadcastable."""
     hit_ids = contamination_report(
-        docs, bench, n, text_col, id_col, broadcast_bench
+        docs, bench, n, text_col, id_col, broadcast_bench,
+        bench_splits_hint=bench_splits_hint
     ).select(id_col)
     probe = F.broadcast(hit_ids) if broadcast_bench else hit_ids
     return docs.join(probe, id_col, "left_anti")

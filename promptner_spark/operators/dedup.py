@@ -26,7 +26,32 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.hashing import hamming64, jaccard, token_shingles
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def scan_splits_of(*paths: str) -> int:
+    """Estimated scan-split count of the given parquet files — pure
+    driver-side ``os.stat``, no Spark analysis. Mirrors Spark's file
+    packing arithmetic (maxPartitionBytes=128m, openCostInBytes=4m
+    defaults): splits ≈ ceil(Σ(size + openCost) / maxPartitionBytes).
+    Only the COARSE question matters — fewer splits than cores, or
+    plenty — so conf drift off the defaults merely shifts a
+    performance heuristic, never a value. Missing files count 0
+    (the caller's probe fallback covers exotic layouts)."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    max_part, open_cost = 128 * 1024 * 1024, 4 * 1024 * 1024
+    total = 0
+    for p in paths:
+        u = urlparse(p)
+        path = u.path if u.scheme in ("file", "") else None
+        try:
+            total += (os.path.getsize(path) if path else 0) + open_cost
+        except OSError:
+            pass
+    return max(1, math.ceil(total / max_part))
+
+
+def _spread(df: DataFrame, splits_hint: int | None = None) -> DataFrame:
     """Re-spread a splits-starved scan before per-shingle hash work.
 
     A small parquet file yields fewer scan splits than cores (sf0.1
@@ -35,10 +60,19 @@ def _spread(df: DataFrame) -> DataFrame:
     most compute-heavy stage. At corpus scale file splits exceed
     cores and this is a no-op; locally it is one tiny shuffle of the
     doc rows (pre-explode, so the shingle fanout never crosses the
-    exchange)."""
+    exchange).
+
+    ``splits_hint`` (see :func:`scan_splits_of`) answers the
+    fewer-splits-than-cores question without the ``df.rdd`` probe —
+    which costs ~100 ms of driver-side analysis + RDD-deserializer
+    construction PER CALL (r6 measurement), paid on every registry
+    query run. The probe remains the fallback for callers that
+    cannot name their input files."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = splits_hint if splits_hint is not None \
+        else df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
@@ -73,6 +107,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     shingle_k: int = 3,
+    splits_hint: int | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature, scalable formulation:
 
@@ -86,7 +121,8 @@ def minhash_signatures(
     array per permutation — measured ~20× slower at corpus scale."""
     from ..functions.hashing import phh_cols, token_shingles_named
     sh = _spread(docs.select(F.col(id_col).alias("id"),
-                             F.col(text_col).alias("t"))).select(
+                             F.col(text_col).alias("t")),
+                 splits_hint=splits_hint).select(
         "id",
         F.explode(token_shingles_named("t", shingle_k)).alias("s"),
     )
@@ -106,6 +142,7 @@ def minhash_candidate_pairs(
     n_hashes: int = 16,
     band_size: int = 4,
     shingle_k: int = 3,
+    splits_hint: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing ≥1 band bucket.
 
@@ -114,7 +151,8 @@ def minhash_candidate_pairs(
     it once (verified — an eager localCheckpoint here measured SLOWER:
     it serializes the signature job ahead of the join instead of
     overlapping, for work Spark already shares)."""
-    sig = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_k)
+    sig = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_k,
+                             splits_hint=splits_hint)
     bands = [
         F.md5(F.concat_ws(",", *[
             F.col(f"h{b * band_size + r}").cast("string")
@@ -150,11 +188,13 @@ def minhash_dedup_pairs(
     n_hashes: int = 16,
     band_size: int = 4,
     shingle_k: int = 3,
+    splits_hint: int | None = None,
 ) -> DataFrame:
     """Candidates verified by exact shingle Jaccard ≥ threshold."""
     from ..functions.hashing import token_shingles_named
     cand = minhash_candidate_pairs(docs, text_col, id_col,
-                                   n_hashes, band_size, shingle_k)
+                                   n_hashes, band_size, shingle_k,
+                                   splits_hint=splits_hint)
     j = jaccard(token_shingles_named("text_a", shingle_k),
                 token_shingles_named("text_b", shingle_k))
     return (
@@ -166,7 +206,8 @@ def minhash_dedup_pairs(
 
 def simhash_table(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 32,
-                  shingle_k: int = 2) -> DataFrame:
+                  shingle_k: int = 2,
+                  splits_hint: int | None = None) -> DataFrame:
     """Per-doc simhash digest (portable; DuckDB-checkable).
 
     Scalable formulation mirroring minhash_signatures: explode →
@@ -174,7 +215,8 @@ def simhash_table(docs: DataFrame, text_col: str = "text",
     sums (all map-side combinable) → fold bit votes into a LONG."""
     from ..functions.hashing import token_shingles_named
     sh = _spread(docs.select(F.col(id_col).alias("doc_id"),
-                             F.col(text_col).alias("t"))).select(
+                             F.col(text_col).alias("t")),
+                 splits_hint=splits_hint).select(
         "doc_id",
         F.explode(token_shingles_named("t", shingle_k)).alias("s"),
     )
@@ -230,7 +272,8 @@ def simhash_block_specs(bits: int, max_hamming: int) -> list[tuple[int, int]]:
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       bits: int = 32, shingle_k: int = 2) -> DataFrame:
+                       bits: int = 32, shingle_k: int = 2,
+                       splits_hint: int | None = None) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming) by simhash: block on
     ``max_hamming + 1`` disjoint bit-bands of the digest (pigeonhole ⇒
     every true pair collides in ≥1 band — 100% recall at the digest
@@ -238,7 +281,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     equi-join on (band index, band value); no all-pairs anywhere.
     (Both self-join sides end at the digest groupBy exchange, which
     ReuseExchange computes once — no boundary needed.)"""
-    t = simhash_table(docs, bits=bits, shingle_k=shingle_k)
+    t = simhash_table(docs, bits=bits, shingle_k=shingle_k,
+                      splits_hint=splits_hint)
     bands = [
         F.shiftright(F.col("simhash"), shift)
         .bitwiseAND(F.lit((1 << width) - 1)).cast("long")

@@ -202,12 +202,10 @@ def _pagerank_local(spark, sym_edges: list[tuple], n_iter: int,
     for s, t in sym_edges:
         out_edges[s].append(t)
         deg[s] += 1
-    from ..smalldf import small_df
-
     nodes = sorted(deg)
     n = len(nodes)
     if n == 0:
-        return small_df(spark, [], schema)
+        return spark.createDataFrame([], schema)
     p_num, p_den = damping_ratio(damping)
     base = ((p_den - p_num) * PR_SCALE) // (p_den * n)
     pr = {v: PR_SCALE // n for v in nodes}
@@ -218,8 +216,7 @@ def _pagerank_local(spark, sym_edges: list[tuple], n_iter: int,
             for t in out_edges[s]:
                 acc[t] += c
         pr = {v: base + (p_num * acc[v]) // p_den for v in nodes}
-    return small_df(
-        spark,
+    return spark.createDataFrame(
         [(v, ((pr[v] + 500_000) // 1_000_000) / 1e6) for v in nodes],
         schema)
 

@@ -83,6 +83,7 @@ def prepare_training_data(
     shard_budget: int = 1_000_000,
     shard_seed: int = 0,
     bucket_bits: int = 8,
+    splits_hint: int | None = None,
 ) -> PrepResult:
     """Run the whole funnel over ``docs`` (doc_id, lang, text).
     ``bench`` (bench_id, text) enables decontamination; ``mixture``
@@ -97,10 +98,12 @@ def prepare_training_data(
     # so every consumer below reads the cached boundary; no extra
     # full pass over the joined flags frame is needed here.
     flags = curate_flags(scrubbed, quality_min, min_jaccard,
-                         n_hashes, band_size, shingle_k)
+                         n_hashes, band_size, shingle_k,
+                         splits_hint=splits_hint)
     kept = flags.where(F.col("is_kept")).select("doc_id", "lang", "text")
     if bench is not None:
-        kept = decontaminate(kept, bench, n=decon_n)
+        kept = decontaminate(kept, bench, n=decon_n,
+                             bench_splits_hint=splits_hint)
     if mixture:
         kept = mixture_sample(kept, mixture, group_col="lang",
                               seed=sample_seed)

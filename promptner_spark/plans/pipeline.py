@@ -135,11 +135,42 @@ def build_pipeline(
         sentences, spec=spec, partitions=partitions,
         backend_factory=backend_factory,
         carry=("text",) if with_verify else ()) \
-        .repartition(n_parts, "url").persist()
+        .repartition(n_parts, "url")
+    release: tuple = ()
     if eager_cache:
-        # Fill the cache NOW, in one job, before any branch hangs off
-        # it (see docstring: concurrent-stage duplicate fill race).
-        base_mentions.count()
+        # r6: eager localCheckpoint instead of persist+count. Same
+        # one-job fill before any branch hangs off the boundary (the
+        # concurrent-stage duplicate-fill race in the docstring), but
+        # every downstream consumer scans raw materialized blocks
+        # (LogicalRDD — which preserves the url-hash partitioning, so
+        # the KG groupBy stays exchange-free) instead of
+        # decompressing InMemoryTableScan columnar batches per scan —
+        # the same slow path the curate/linking boundaries already
+        # left behind (measured there: order-of-magnitude per-row
+        # scan cost). DataFrame.unpersist cannot release checkpoint
+        # blocks, so the handle for the blocks rides in ``cached``.
+        jsc = spark.sparkContext._jsc
+        before = {e.getKey()
+                  for e in jsc.getPersistentRDDs().entrySet().toArray()}
+        # AQE makes the checkpoint capture UnknownPartitioning
+        # (AdaptiveSparkPlanExec is a leaf whose outputPartitioning is
+        # unknown), which would re-introduce a corpus-wide
+        # (url, sent_id) exchange in the KG reduce. The boundary's own
+        # plan is a fixed explicit repartition — AQE has nothing to
+        # adapt there — so disabling it for just this materialization
+        # preserves the url-hash layout in the LogicalRDD.
+        conf = spark.conf
+        aqe_was = conf.get("spark.sql.adaptive.enabled")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            base_mentions = base_mentions.localCheckpoint(eager=True)
+        finally:
+            conf.set("spark.sql.adaptive.enabled", aqe_was)
+        release = tuple(
+            e.getValue() for e in jsc.getPersistentRDDs().entrySet()
+            .toArray() if e.getKey() not in before)
+    else:
+        base_mentions = base_mentions.persist()
     mentions = base_mentions
     if with_verify:
         mentions = verify_types(
@@ -151,8 +182,11 @@ def build_pipeline(
     # value-exact check); an O(vocab) config knob, default off.
     linked = linking.link_mentions(mentions, aliases, fuzzy=fuzzy_link,
                                    portable_fuzzy=portable_fuzzy)
-    cached = (base_mentions,
-              *getattr(linked, "_promptner_caches", ()))
+    # ``release`` holds the checkpoint-block JavaRDD handles (their
+    # .unpersist() frees the blocks); on the persist path it is empty
+    # and the persisted frame itself is the handle.
+    cached = ((base_mentions,) if not release else release) + tuple(
+        getattr(linked, "_promptner_caches", ()))
     # NOT persisted: since emit_triples became a single groupBy pass,
     # each output (nodes / triples / counts) reads canonical exactly
     # once, and recomputing it from the cached mentions is one

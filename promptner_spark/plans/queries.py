@@ -124,8 +124,51 @@ PRED_GAZ = {s: ("STRUCT" if s == "window" else t)
             if s not in ("merge", "batch")}
 
 
+_DF_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _df_memo(spark: SparkSession, sf_dir: str, name: str, build):
+    """Memoized PURE-DAG intermediate frames (augmented corpora,
+    synthetic bench set, pages): same immutable plan object per
+    (application, sf_dir) — plan metadata reuse only, the same
+    contract as scans.cached_parquet (~50-250 ms of py4j/analysis
+    construction saved per registry build; every action still
+    computes from parquet). ONLY side-effect-free builders belong
+    here — anything that persists/checkpoints must stay per-call."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _DF_MEMO.get(key)
+    if df is None:
+        df = build()
+        _DF_MEMO[key] = df
+    return df
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized default-args synthesize_pages frame (pure DAG)."""
+    return _df_memo(spark, sf_dir, "pages",
+                    lambda: synthesize_pages(spark, sf_dir))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # memoized scan plan — ~100 ms of per-call driver analysis saved
+    # on every registry build; data still read per action (scans.py)
+    from ..scans import cached_parquet
+    return cached_parquet(spark, f"{sf_dir}/documents.parquet")
+
+
+def _splits(sf_dir: str, table: str = "documents", scans: int = 1) -> int:
+    """Driver-side scan-split estimate for a testdata table —
+    ``scans`` multiplies for self-union plans that scan the file once
+    per branch. Memoized per path (os.stat only; see
+    dedup.scan_splits_of — replaces the ~100 ms-per-call df.rdd
+    probe, r6)."""
+    return scans * _splits_cached(f"{sf_dir}/{table}.parquet")
+
+
+@functools.lru_cache(maxsize=None)
+def _splits_cached(path: str) -> int:
+    from ..operators.dedup import scan_splits_of
+    return scan_splits_of(path)
 
 
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,17 +177,24 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row expressions (rolling-hash fingerprint measured 18.7s on
     2/32 cores vs 1.3s spread). No-op at real corpus sizes."""
     from ..operators.dedup import _spread
-    return _spread(_docs(spark, sf_dir))
+    return _spread(_docs(spark, sf_dir), splits_hint=_splits(sf_dir))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _df_memo(spark, sf_dir, "emb",
+                    lambda: _emb_build(spark, sf_dir))
+
+
+def _emb_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings with splits-starvation repair (dedup._spread): the
     small local parquet yields 1-2 scan splits, so the hyperplane/
     centroid/cosine expression work downstream of it ran on 2 of 32
     cores (r6 stage audit: the whole q_embdup_lsh body on 2 tasks).
     No-op at real corpus sizes."""
     from ..operators.dedup import _spread
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    from ..scans import cached_parquet
+    return _spread(cached_parquet(spark, f"{sf_dir}/embeddings.parquet"),
+                   splits_hint=_splits(sf_dir, "embeddings"))
 
 
 def _emb_dim(sf_dir: str) -> int:
@@ -160,7 +210,7 @@ def _emb_dim(sf_dir: str) -> int:
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identical html→text extraction, summarized per lang."""
     from ..sources.pages import extract_text
-    pages = synthesize_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     ext = extract_text(F.col("html"))
     return pages.select(
         "lang", "text",
@@ -194,7 +244,7 @@ def _oracle_mentions(spark: SparkSession, sf_dir: str,
     gazetteer — the config whose end-to-end semantics have a SQL
     closed form (first occurrence of each present gazetteer word)."""
     gaz = gaz if gaz is not None else ORACLE_GAZETTEER
-    pages = synthesize_pages(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
     sents = pages.select("url", F.lit(0).cast("int").alias("sent_id"), "text")
     # fused single-UDF stage (== unfused chain, tests/test_pipeline.py)
     return extract_mentions(
@@ -648,6 +698,11 @@ FROM n"""
 
 # ------------------------------------------------------------------- dedup
 def _augmented_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _df_memo(spark, sf_dir, "aug_exact",
+                    lambda: _augmented_exact_build(spark, sf_dir))
+
+
+def _augmented_exact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dup = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
@@ -678,6 +733,11 @@ FROM aug GROUP BY 1 HAVING count(*) > 1"""
 
 def _augmented_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + 80%-prefix near-copies of every 5th doc."""
+    return _df_memo(spark, sf_dir, "aug_near",
+                    lambda: _augmented_near_build(spark, sf_dir))
+
+
+def _augmented_near_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     trunc = F.concat_ws(
@@ -732,7 +792,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _augmented_near(spark, sf_dir)
     pairs = dedup.minhash_dedup_pairs(
         aug, min_jaccard=_MIN_J, n_hashes=_MINHASH_N,
-        band_size=_BAND_SIZE, shingle_k=_SHINGLE_K)
+        band_size=_BAND_SIZE, shingle_k=_SHINGLE_K,
+        splits_hint=_splits(sf_dir, scans=2))
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -765,6 +826,11 @@ FROM verified WHERE j >= {_MIN_J}"""
 
 
 def _augmented_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _df_memo(spark, sf_dir, "aug_curate",
+                    lambda: _augmented_curate_build(spark, sf_dir))
+
+
+def _augmented_curate_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation input: documents + exact copies of every 10th doc
     (doc_id+1M, the q_dedup_exact augmentation with lang carried) +
     80%-prefix near-copies of every 5th (doc_id+2M, the
@@ -794,9 +860,11 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _spread
 
     aug = _augmented_curate(spark, sf_dir)
-    flags = curate_flags(_spread(aug), quality_min=0.6,
+    hint = _splits(sf_dir, scans=3)
+    flags = curate_flags(_spread(aug, splits_hint=hint), quality_min=0.6,
                          min_jaccard=_MIN_J, n_hashes=_MINHASH_N,
-                         band_size=_BAND_SIZE, shingle_k=_SHINGLE_K)
+                         band_size=_BAND_SIZE, shingle_k=_SHINGLE_K,
+                         splits_hint=hint)
     # release the REAL persisted boundary (curate_flags exposes it via
     # _promptner_caches; unpersisting the joined return frame was a
     # silent no-op — r6 cache-leak fix) at the next registry call
@@ -886,6 +954,11 @@ _DECON_N = 13   # the canonical GPT-3/Llama overlap width
 
 
 def _synth_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _df_memo(spark, sf_dir, "synth_bench",
+                    lambda: _synth_bench_build(spark, sf_dir))
+
+
+def _synth_bench_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stand-in benchmark set: the middle ~60% token
     slice of every 17th document (so contamination is real — those
     grams occur verbatim in the source docs — and the clean set is
@@ -917,7 +990,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     where splits exceed cores)."""
     docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     rep = decon.contamination_report(
-        docs, _synth_bench(spark, sf_dir), n=_DECON_N)
+        docs, _synth_bench(spark, sf_dir), n=_DECON_N,
+        bench_splits_hint=_splits(sf_dir))
     return rep.select(F.col("doc_id").cast("long").alias("doc_id"),
                       "n_hits")
 
@@ -1122,8 +1196,8 @@ def _multiline_expr() -> F.Column:
 
 
 def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", _multiline_expr().alias("text"))
+    return _df_memo(spark, sf_dir, "multiline", lambda: _docs(
+        spark, sf_dir).select("doc_id", _multiline_expr().alias("text")))
 
 
 def _sql_multiline(src: str, carry: str = "") -> str:
@@ -1212,12 +1286,14 @@ def q_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", _dirty_text().alias("text"))
     docs2 = base.select("doc_id", "lang", _multiline_expr().alias("text"))
     res = prepare_training_data(
-        _spread(docs2), bench=_synth_bench(spark, sf_dir),
+        _spread(docs2, splits_hint=_splits(sf_dir)),
+        bench=_synth_bench(spark, sf_dir),
         min_line_docs=_LINE_MIN_DOCS, quality_min=0.6,
         min_jaccard=_MIN_J, n_hashes=_MINHASH_N, band_size=_BAND_SIZE,
         shingle_k=_SHINGLE_K, decon_n=_DECON_N, mixture=_PREP_RATES,
         sample_seed=_PREP_SEED, shard_budget=_PREP_BUDGET,
-        shard_seed=_PREP_SEED, bucket_bits=_PREP_BITS)
+        shard_seed=_PREP_SEED, bucket_bits=_PREP_BITS,
+        splits_hint=_splits(sf_dir))
     for c in res._caches:
         _defer_release(c)   # unpersisted at the next registry call
     return res.manifest
@@ -1279,7 +1355,8 @@ FROM ppacked GROUP BY shard_id"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_table(_docs(spark, sf_dir), bits=32, shingle_k=2)
+    return dedup.simhash_table(_docs(spark, sf_dir), bits=32, shingle_k=2,
+                               splits_hint=_splits(sf_dir))
 
 
 def _sql_simhash_ctes(src: str) -> str:
@@ -1311,7 +1388,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays digest, banding and Hamming verify exactly."""
     pairs = dedup.simhash_near_pairs(
         _augmented_near(spark, sf_dir),
-        max_hamming=_SIMHASH_MAX_HAMMING, bits=32, shingle_k=2)
+        max_hamming=_SIMHASH_MAX_HAMMING, bits=32, shingle_k=2,
+        splits_hint=_splits(sf_dir, scans=2))
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -1343,7 +1421,8 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _augmented_near(spark, sf_dir)
     pairs = dedup.minhash_dedup_pairs(
         aug, min_jaccard=_MIN_J, n_hashes=_MINHASH_N,
-        band_size=_BAND_SIZE, shingle_k=_SHINGLE_K)
+        band_size=_BAND_SIZE, shingle_k=_SHINGLE_K,
+        splits_hint=_splits(sf_dir, scans=2))
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     return comp.groupBy("component").agg(
@@ -1668,7 +1747,8 @@ WHERE {_SQL_COS} >= 0.25"""
 
 # ------------------------------------------------- relational breadth (TPC-H)
 def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from ..scans import cached_parquet
+    li = cached_parquet(spark, f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
@@ -1690,7 +1770,8 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from ..scans import cached_parquet
+    o = cached_parquet(spark, f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (o.withColumn("rank", F.row_number().over(w))
@@ -1716,8 +1797,10 @@ FROM ranked WHERE rank <= 3"""
 
 
 def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from ..scans import cached_parquet
+    o = cached_parquet(spark, f"{sf_dir}/orders.parquet")
+    from ..scans import cached_parquet
+    li = cached_parquet(spark, f"{sf_dir}/lineitem.parquet")
     big = li.where(F.col("l_quantity") > 45).select("l_orderkey")
     return (o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
             .groupBy("o_orderpriority")
@@ -1734,7 +1817,8 @@ GROUP BY o_orderpriority"""
 
 
 def q_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..scans import cached_parquet
+    ev = cached_parquet(spark, f"{sf_dir}/events.parquet")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
@@ -2118,7 +2202,7 @@ def q_nil_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → per-surface representative. The DuckDB
     oracle replays the hash family, banding, verify and the component
     walk exactly."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("t")).distinct()
     vocab = toks.select("t").unionByName(
@@ -2276,7 +2360,7 @@ def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side explode — no shuffle anywhere in the plan."""
     from ..operators.linkgraph import outlink_edges
 
-    return outlink_edges(synthesize_pages(spark, sf_dir))
+    return outlink_edges(_pages(spark, sf_dir))
 
 
 def _sql_outlinks() -> str:
@@ -2297,7 +2381,7 @@ def q_link_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain groupBy count; the oracle checks exactly that."""
     from ..operators.linkgraph import indegree, outlink_edges
 
-    edges = outlink_edges(synthesize_pages(spark, sf_dir)) \
+    edges = outlink_edges(_pages(spark, sf_dir)) \
         .where(F.col("internal"))
     deg = indegree(edges)
     return deg.where(F.col("indeg") >= _HUB_MIN_INDEG)
@@ -2317,7 +2401,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is broadcast-sized at any corpus scale."""
     from ..operators.linkgraph import host_link_stats, outlink_edges
 
-    return host_link_stats(outlink_edges(synthesize_pages(spark, sf_dir)))
+    return host_link_stats(outlink_edges(_pages(spark, sf_dir)))
 
 
 def _sql_host_graph() -> str:
@@ -2338,7 +2422,7 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (the 100 TB shape), not driver-local mode."""
     from ..operators.linkgraph import link_pagerank
 
-    return link_pagerank(synthesize_pages(spark, sf_dir), n_iter=4)
+    return link_pagerank(_pages(spark, sf_dir), n_iter=4)
 
 
 def _sql_link_pagerank(n_iter: int = 4, damping: float = 0.85) -> str:
@@ -2356,7 +2440,7 @@ edges AS (
 def _internal_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.linkgraph import outlink_edges
 
-    return outlink_edges(synthesize_pages(spark, sf_dir)) \
+    return outlink_edges(_pages(spark, sf_dir)) \
         .where(F.col("internal")).select("src", "dst")
 
 
@@ -2622,6 +2706,40 @@ def _managed(fn):
     return wrapped
 
 
+# Queries whose build is a PURE DAG — no persist, no checkpoint, no
+# collect/count, no deferred-release registration anywhere in their
+# construction — so the SAME immutable plan object can be returned on
+# repeated invocation (the _df_memo contract: plan-metadata reuse
+# only; every materialization still computes from the parquet files).
+# Queries with materialization side effects (eager checkpoints,
+# driver collects, managed persists) MUST rebuild per call and are
+# deliberately absent.
+_PURE_QUERIES = frozenset({
+    "q_extract_text", "q_mentions", "q_mention_type_counts",
+    "q_link_exact", "q_link_salted", "q_span_f1", "q_textstats",
+    "q_repetition", "q_langid", "q_quality_filter", "q_fingerprint",
+    "q_dedup_exact", "q_minhash_pairs", "q_decontaminate",
+    "q_quota_sample", "q_mixture_sample", "q_pii_scrub",
+    "q_line_dedup", "q_simhash", "q_simhash_pairs", "q_embdup",
+    "q_embdup_lsh", "q_knn", "q_knn_lsh", "q_pricing",
+    "q_top_orders", "q_order_priority", "q_events", "q_outlinks",
+    "q_link_hubs", "q_host_graph", "q_warc_roundtrip",
+    "q_media_meta", "q_media_frames", "q_media_features",
+    "q_predicates", "q_verified_mentions", "q_disputed_mentions",
+    "q_cocitation",
+})
+
+
+def _pure(name, fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _df_memo(spark, sf_dir, name,
+                        lambda: fn(spark, sf_dir))
+    return wrapped
+
+
 QUERIES = {
     "q_hot_surfaces": q_hot_surfaces,
     "q_media_meta": q_media_meta,
@@ -2676,7 +2794,10 @@ QUERIES = {
     "q_hits": q_hits,
     "q_cocitation": q_cocitation,
 }
-QUERIES = {name: _managed(fn) for name, fn in QUERIES.items()}
+QUERIES = {
+    name: _managed(_pure(name, fn) if name in _PURE_QUERIES else fn)
+    for name, fn in QUERIES.items()
+}
 
 ORACLE_SQL = {
     "q_hot_surfaces": _sql_hot_surfaces(),

@@ -77,6 +77,19 @@ def build_session(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize":
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Whole-stage-codegen methods above ~8 KB of bytecode are
+        # refused by the JVM JIT (-XX:DontCompileHugeMethods, default
+        # limit 8000) and run as INTERPRETED bytecode forever — worse
+        # than Spark's own non-codegen fallback. Spark's default
+        # hugeMethodLimit (65535) only avoids the JVM's hard 64 KB
+        # method cap, so stages in the 8-64 KB band ship uncompilable
+        # code: measured r6 on the curate gate stage (75-trigram
+        # langid scores + quality + argmax in one stage), 4.47 s vs
+        # 2.35 s per 100k rows once the limit matches the JIT's.
+        # Data-size-independent — the generated code is a function of
+        # the PLAN, not the input, so this holds on any cluster.
+        "spark.sql.codegen.hugeMethodLimit":
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),

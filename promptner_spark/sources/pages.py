@@ -114,7 +114,8 @@ def synthesize_pages(spark: SparkSession, sf_dir: str,
     does) instead of repeating ~20 surfaces, so the vocabulary-level
     KG stages distribute in the scaling measurement.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..scans import cached_parquet
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet")
     if replicate > 1:
         # Spread the explode across the cluster first — a small parquet
         # is one input split, and a ×R Generate on one task is a serial
