@@ -60,8 +60,16 @@ def _line_key(line: Column) -> Column:
 # was otherwise paid per plan rebuild (functions/textstats memo note)
 @lru_cache(maxsize=None)
 def _census_keys(text_col: str) -> Column:
+    # ONE whole-text portable_lower, then split+trim per line — not
+    # lower-per-line: higher-order lambdas are interpreted, so the
+    # 3-op case-fold ran per line (r6). Equivalent by construction:
+    # no lowercase mapping produces or consumes '\n' or ' ' (İ/Σ are
+    # pre-folded to single chars), so split positions and the
+    # trimmed-space boundaries are unchanged, and
+    # trim(lower(x)) == lower(trim(x)) per line.
     return F.array_distinct(F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), _line_key),
+        F.transform(F.split(portable_lower(F.col(text_col)), "\n"),
+                    lambda ln: F.trim(ln)),
         lambda k: k != ""))
 
 

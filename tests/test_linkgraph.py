@@ -41,12 +41,12 @@ def test_outlink_rule_roundtrip(spark):
         assert got[f"https://ex.com/{d}"] == _expected_links(d), d
 
 
-def test_extraction_invariant_survives_nav(spark):
+def test_extraction_invariant_survives_nav(spark, sf_dir):
     """The nav block sits outside <p>…</p>; the byte-identical text
     extractor must be untouched by it."""
     from promptner_spark.sources.pages import extract_text, synthesize_pages
 
-    pages = synthesize_pages(spark, "/root/testdata/sf0.001")
+    pages = synthesize_pages(spark, sf_dir)
     bad = pages.where(
         extract_text(F.col("html")) != F.col("text")).count()
     assert bad == 0
