@@ -158,12 +158,13 @@ def token_ngrams(text: Column, n: int = 2) -> Column:
     """ORDERED token n-grams WITH duplicates (unlike
     hashing.token_shingles, which distincts — repetition statistics
     need the multiset); texts shorter than n tokens yield themselves,
-    mirroring the shingle convention."""
-    toks = F.split(text, " ")
-    m = F.size(toks)
+    mirroring the shingle convention. Built as substrings between
+    token offsets (hashing._window_spans — value-identical, one copy
+    per window instead of an interpreted slice+join, r6)."""
+    from .hashing import _window_spans
+    m = F.size(F.split(text, " "))
     return F.when(m < n, F.array(text)).otherwise(
-        F.transform(F.sequence(F.lit(1), m - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+        _window_spans(text, m, n))
 
 
 def ngram_run_stats(text: Column, n: int = 2) -> Column:

@@ -265,7 +265,16 @@ def build_resolution(mentions: DataFrame, aliases: DataFrame,
         portable=portable_fuzzy,
     ).withColumn("prior", F.lit(None).cast("double")) \
         .select("m_norm", "entity_id", "canonical_name", "alias_norm", "prior")
-    nil = miss.join(fz.select("m_norm"), "m_norm", "left_anti").select(
+    # fz (one row per fuzzy-matched surface) is a SUBSET of the
+    # resolution dictionary this function returns — which
+    # link_mentions broadcasts wholesale onto the mention stream (with
+    # the max_broadcast_vocab guard), so broadcasting it here is never
+    # the binding constraint. The planner cannot see that: the
+    # checkpointed vocab side has no size stats, and without the hint
+    # this anti-join planned as a SortMergeJoin (2 exchanges + 2 sorts
+    # observed in the r6 flagship audit, for a 7-row right side).
+    nil = miss.join(F.broadcast(fz.select("m_norm")),
+                    "m_norm", "left_anti").select(
         "m_norm",
         F.lit(None).cast("long").alias("entity_id"),
         F.lit(None).cast("string").alias("canonical_name"),

@@ -57,15 +57,29 @@ def _old_bpe(t):
                  + TS.PORTABLE_WS + "]"), 0))
 
 
+def _old_token_ngrams(t, n):
+    # the r5 slice+concat_ws window builder, verbatim
+    toks = F.split(t, " ")
+    m = F.size(toks)
+    return F.when(m < n, F.array(t)).otherwise(
+        F.transform(F.sequence(F.lit(1), m - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def _old_token_shingles(t, k):
+    return F.when(F.size(F.split(t, " ")) < k, F.array(t)).otherwise(
+        F.array_distinct(_old_token_ngrams(t, k)))
+
+
 def _old_dup(t, n):
-    g = TS.token_ngrams(t, n)
+    g = _old_token_ngrams(t, n)
     return (F.size(g) - F.size(F.array_distinct(g))) \
         / F.size(g).cast("double")
 
 
 def _old_top(t, n):
     # the r5 sorted-run fold, verbatim
-    g = F.array_sort(TS.token_ngrams(t, n))
+    g = F.array_sort(_old_token_ngrams(t, n))
     zero = F.lit(0).cast("int")
     init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
                     zero.alias("best"))
@@ -92,14 +106,22 @@ def test_flat_rewrites_match_hof_forms(spark):
         "punct_ratio": (_old_punct_ratio(t), TS.punct_ratio(t)),
         "bpe": (_old_bpe(t), TS.bpe_ish_token_count(t)),
     }
+    from promptner_spark.functions.hashing import token_shingles
     for n in (2, 3):
         s = TS.ngram_run_stats(t, n)
-        checks[f"size{n}"] = (F.size(TS.token_ngrams(t, n)), s["total"])
+        checks[f"size{n}"] = (F.size(_old_token_ngrams(t, n)), s["total"])
         checks[f"dup{n}"] = (
             _old_dup(t, n),
             (s["total"] - s["distinct"]) / s["total"].cast("double"))
         checks[f"top{n}"] = (
             _old_top(t, n), s["top"] / s["total"].cast("double"))
+        # the substring window builders vs the r5 slice+join forms
+        checks[f"ngrams{n}"] = (_old_token_ngrams(t, n),
+                                TS.token_ngrams(t, n))
+        checks[f"shingles{n}"] = (_old_token_shingles(t, n),
+                                  token_shingles(t, n))
+    checks["shingles13"] = (_old_token_shingles(t, 13),
+                            token_shingles(t, 13))
 
     sel = [F.col("id"), F.col("text")]
     for k, (old, new) in checks.items():
