@@ -2559,13 +2559,15 @@ _SQL_ENTS_CTE = """ents AS (
   FROM mentions m JOIN aliases a ON m.surface = a.alias_norm)"""
 
 
-def _doc_entity_sets(spark: SparkSession, sf_dir: str
+def _doc_entity_sets(spark: SparkSession, sf_dir: str,
+                     with_stats: bool = True
                      ) -> tuple[DataFrame, int, int]:
     """Persisted GROUPED incidence table — one row per url with its
-    sorted-distinct entity set — plus two driver scalars the graph
-    queries need anyway: (n_distinct_urls, max_entities_per_url). The
-    ONE aggregation job that computes them doubles as the eager cache
-    fill (it scans every partition). Grouped beats the r3 flat
+    sorted-distinct entity set — plus two driver scalars
+    (n_distinct_urls, max_entities_per_url) when the caller needs
+    them (q_pmi does; q_pagerank passes ``with_stats=False`` — the
+    eager checkpoint already fills the boundary, so the stats job was
+    a pure extra action there, r6). Grouped beats the r3 flat
     distinct table for both consumers: the groupBy(url).collect_set IS
     the distinct pass, and the downstream pair emission becomes an
     in-row explode instead of a url-keyed self-join (r4: this halved
@@ -2577,6 +2579,8 @@ def _doc_entity_sets(spark: SparkSession, sf_dir: str
                .agg(F.sort_array(F.collect_set("canonical_name"))
                     .alias("ents"))
                .localCheckpoint(eager=True))
+    if not with_stats:
+        return grouped, 0, 0
     row = grouped.agg(F.count(F.lit(1)).alias("n_urls"),
                       F.max(F.size("ents")).alias("max_c")).collect()[0]
     n_urls = int(row["n_urls"] or 0)
@@ -2596,7 +2600,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     library default (r3 advisor note)."""
     from ..operators.gazetteer import ALIAS_ROWS
     from ..operators.graph_analytics import explode_pairs, pagerank
-    grouped, _, _ = _doc_entity_sets(spark, sf_dir)
+    grouped, _, _ = _doc_entity_sets(spark, sf_dir, with_stats=False)
     edges = explode_pairs(grouped, "ents", "src", "dst")
     v = len({row[2] for row in ALIAS_ROWS})
     return pagerank(edges, n_iter=4, damping=0.85,
