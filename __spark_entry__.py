@@ -8,7 +8,7 @@
   SURVEY.md §2 (see promptner_spark/plans/queries.py for the paired
   DuckDB closed forms and the cross-engine determinism rules;
   COVERAGE.md maps every inventory row to query + test).
-- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query — ALL 39
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query — ALL 52
   queries are value-exact (rows + schema + value hash). The last two
   holdouts closed in round 4: q_knn_ivf via an md5-seeded quantizer
   replayed as an unrolled Lloyd CTE, q_pipeline_triples via a closed

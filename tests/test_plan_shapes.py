@@ -184,3 +184,29 @@ def test_registry_queries_release_caches(spark, sf_dir):
     assert n_cached() == base
     _release_pending()  # idempotent
     assert n_cached() == base
+
+
+def test_resolution_nil_antijoin_is_broadcast(spark, sf_dir):
+    """r6: the NIL anti-join's fuzzy side must broadcast — the
+    checkpointed vocabulary has no size stats, and without the hint
+    the planner picked a SortMergeJoin (2 exchanges + 2 sorts) for a
+    vocabulary-bounded right side. Materialization happens inside
+    build_resolution, so the shape is read from the SQL listener's
+    executed plans rather than the returned (checkpoint-truncated)
+    frame."""
+    from promptner_spark.operators import linking
+    from promptner_spark.plans.queries import _oracle_mentions
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    m = _oracle_mentions(spark, sf_dir)
+    linking.build_resolution(m, linking.alias_df(spark), fuzzy=True)
+    lst = store.executionsList()
+    joined = []
+    for i in range(lst.size()):
+        q = lst.apply(i)
+        if q.executionId() >= before:
+            joined.append(q.physicalPlanDescription())
+    joined = "\n".join(joined)
+    assert "SortMergeJoin" not in joined
+    assert "BroadcastHashJoin" in joined
