@@ -121,17 +121,22 @@ def prepare_training_data(
     # (guide §5: localCheckpoint as the cheap lineage cut; a
     # production run checkpoints this boundary to parquet anyway).
     kept = kept.localCheckpoint(eager=True)
-    packed = shard_pack(kept, budget=shard_budget, seed=shard_seed,
-                        bucket_bits=bucket_bits)
+    packed0 = shard_pack(kept, budget=shard_budget, seed=shard_seed,
+                         bucket_bits=bucket_bits)
+    # The manifest aggregates straight off the packing output: the
+    # lang reattach below is 1:1 row-preserving (every packed doc_id
+    # IS a kept doc_id by construction), so routing the manifest
+    # through it only added a dead broadcast join to the summary job
+    # (r6) — the values are identical either way.
+    manifest = packed0.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"))
     # shard_pack drops non-key columns by design (text must not cross
     # its window exchange); reattach lang via the kept frame's
     # (doc_id, lang) projection — broadcast-sized after the funnel in
     # tests, an equi-join on the store's bucket key at corpus scale.
-    packed = packed.withColumnRenamed("id", "doc_id") \
+    packed = packed0.withColumnRenamed("id", "doc_id") \
         .join(kept.select("doc_id", "lang"), "doc_id")
-    manifest = packed.groupBy("shard_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("n_tokens"))
     # kept is a localCheckpoint (ContextCleaner-reclaimed), so only
     # the curate flags cache needs managed release.
     return PrepResult(kept=kept, packed=packed, manifest=manifest,
